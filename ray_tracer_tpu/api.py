@@ -1,0 +1,172 @@
+"""Top-level rendering API.
+
+Replaces the reference's engine loop (``VulkanEngine::draw``/``run_compute``,
+``src/vk_engine.cpp:1623-1815``) with three entry points:
+
+* :func:`render` — one-shot: trace ``cfg.samples_per_pixel`` samples and
+  return the (H, W, 3) linear image (the reference's ``singleRender`` mode,
+  quirk Q10).
+* :class:`ProgressiveRenderer` — the progressive mode: each :meth:`step`
+  traces one frame and blends it with weight ``1/(frame+1)``; camera moves
+  reset accumulation exactly like the reference (``vk_engine.cpp:1812,1888``).
+  Render state ``(accum, frame, seed)`` is serializable — the
+  checkpoint/resume capability the reference lacks (SURVEY §5).
+* :func:`make_sample_fn` — the raw jitted kernel for benchmarks/tests.
+
+Images are tiled into ``cfg.max_rays_per_batch``-ray chunks so arbitrarily
+large renders bound their live wavefront memory.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import RenderConfig
+from .integrator import film, wavefront
+from .scene.types import Camera, CompiledScene
+from .utils.transforms import camera_rotation
+
+
+def _camera_arrays(cam: Camera, cfg: RenderConfig):
+    rot = jnp.asarray(camera_rotation(cam.angles_deg))
+    pos = jnp.asarray(cam.position, jnp.float32)
+    fov = jnp.float32(cam.fov)
+    aspect = jnp.float32(cfg.width / cfg.height)
+    near = jnp.float32(cam.near_plane)
+    return rot, pos, fov, aspect, near
+
+
+def scene_camera(scene: CompiledScene) -> Camera:
+    pos, angles, fov, near = scene.meta.get(
+        "camera", ((0.0, -0.5, -3.5), (4.0, 0.0, 0.0), 50.0, 0.1)
+    )
+    return Camera(position=pos, angles_deg=angles, fov=fov, near_plane=near)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def _render_tile(
+    scene: CompiledScene,
+    rot,
+    pos,
+    fov,
+    aspect,
+    near,
+    pixel_ids,
+    frame,
+    sample_base,
+    cfg: RenderConfig,
+    n_samples: int,
+):
+    """Mean of ``n_samples`` traced samples for the given pixels -> (N,3)."""
+
+    def one_sample(acc, s):
+        c = wavefront.render_sample(
+            scene, rot, pos, fov, aspect, near, pixel_ids, frame,
+            sample_base + s, cfg,
+        )
+        return acc + c, None
+
+    acc, _ = jax.lax.scan(
+        one_sample,
+        jnp.zeros((pixel_ids.shape[0], 3), jnp.float32),
+        jnp.arange(n_samples, dtype=jnp.int32),
+    )
+    return acc / n_samples
+
+
+def render_frame(
+    scene: CompiledScene,
+    cfg: RenderConfig,
+    camera: Optional[Camera] = None,
+    frame: int = 0,
+    n_samples: Optional[int] = None,
+    sample_base: int = 0,
+) -> jnp.ndarray:
+    """Trace one frame (``n_samples`` spp, default config's) -> (H,W,3)."""
+    cam = camera or scene_camera(scene)
+    rot, pos, fov, aspect, near = _camera_arrays(cam, cfg)
+    spp = cfg.samples_per_pixel if n_samples is None else n_samples
+    n_pix = cfg.n_pixels
+    tile = max(1, min(n_pix, cfg.max_rays_per_batch))
+    out = np.zeros((n_pix, 3), np.float32)
+    for start in range(0, n_pix, tile):
+        count = min(tile, n_pix - start)
+        ids = jnp.arange(start, start + count, dtype=jnp.int32)
+        out[start : start + count] = np.asarray(
+            _render_tile(
+                scene, rot, pos, fov, aspect, near, ids,
+                jnp.int32(frame), jnp.int32(sample_base), cfg, spp,
+            )
+        )
+    return jnp.asarray(out.reshape(cfg.height, cfg.width, 3))
+
+
+def render(
+    scene: CompiledScene, cfg: RenderConfig, camera: Optional[Camera] = None
+) -> jnp.ndarray:
+    """Single render to cfg.samples_per_pixel spp (reference singleRender)."""
+    return render_frame(scene, cfg, camera, frame=0)
+
+
+class ProgressiveRenderer:
+    """Progressive accumulation with camera-reset + checkpoint/resume."""
+
+    def __init__(
+        self,
+        scene: CompiledScene,
+        cfg: RenderConfig,
+        camera: Optional[Camera] = None,
+    ) -> None:
+        self.scene = scene
+        self.cfg = cfg
+        self.camera = camera or scene_camera(scene)
+        self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        self.frame = 0
+        self.total_samples = 0
+
+    def step(self, n_samples: Optional[int] = None) -> jnp.ndarray:
+        spp = n_samples or self.cfg.samples_per_pixel
+        color = render_frame(
+            self.scene,
+            self.cfg,
+            self.camera,
+            frame=self.frame,
+            n_samples=spp,
+            sample_base=self.total_samples,
+        )
+        self.accum = film.progressive_blend(
+            self.accum, color, jnp.int32(self.frame)
+        )
+        self.frame += 1
+        self.total_samples += spp
+        return self.accum
+
+    def move_camera(self, camera: Camera) -> None:
+        """Camera motion resets accumulation (reference vk_engine.cpp:1888)."""
+        self.camera = camera
+        self.accum = jnp.zeros_like(self.accum)
+        self.frame = 0
+        self.total_samples = 0
+
+    # -- checkpoint / resume (capability the reference lacks) -------------
+    def save_state(self, path: str) -> None:
+        np.savez(
+            path,
+            accum=np.asarray(self.accum),
+            frame=self.frame,
+            total_samples=self.total_samples,
+            seed=self.cfg.seed,
+        )
+
+    def load_state(self, path: str) -> None:
+        z = np.load(path)
+        assert int(z["seed"]) == self.cfg.seed, "seed mismatch on resume"
+        self.accum = jnp.asarray(z["accum"])
+        self.frame = int(z["frame"])
+        self.total_samples = int(z["total_samples"])

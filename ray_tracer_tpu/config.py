@@ -1,0 +1,46 @@
+"""Render configuration.
+
+Replaces the reference's three config tiers (compile-time constants,
+hardcoded scene code, and ImGui-mutable push constants —
+``src/vk_engine.h:160-171,202-206,338``) with one declarative, hashable
+dataclass.  Instances are static jit arguments: changing a field recompiles,
+so anything that must vary per frame (camera, frame index) is passed as
+device arrays instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    width: int = 512
+    height: int = 512
+    # Samples traced per pixel per call (reference raysPerPixel /
+    # sampleLimit, vk_engine.h:164,170).
+    samples_per_pixel: int = 1
+    # Bounce loop runs bounce_limit + 1 times (``j <= bounceLimit``,
+    # raytrace.comp:495).
+    bounce_limit: int = 8
+    seed: int = 0
+    # Russian roulette: probability 1 while ``j <= rr_start_bounce``
+    # (raytrace.comp:522), survival clamped at rr_clamp (:521).
+    rr_start_bounce: int = 5
+    rr_clamp: float = 0.95
+    # Capability extension (reference quirk Q1: its snapshot never samples
+    # textures); disable for strict same-seed comparisons vs the snapshot.
+    enable_textures: bool = True
+    # Pixel-center jitter for anti-aliasing. The reference samples each pixel
+    # at its corner every time (raytrace.comp:541) — keep False for parity.
+    aa_jitter: bool = False
+    # Rays per traversal batch; render() tiles the image into chunks of this
+    # many pixels x samples to bound live-state memory.
+    max_rays_per_batch: int = 1 << 20
+
+    def replace(self, **kw) -> "RenderConfig":
+        return replace(self, **kw)
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height

@@ -1,0 +1,360 @@
+"""Wavefront path-tracing integrator.
+
+TPU-native re-architecture of the reference megakernel's ``trace`` loop
+(``shaders/raytrace.comp:483-537``): instead of one divergent per-thread
+program, each bounce is a dense batched stage over the whole ray wavefront —
+traverse -> gather hit attributes -> evaluate all three BSDF lobes
+branchlessly -> NEE -> select -> russian roulette — driven by ``lax.scan``
+over a static bounce count with per-lane ``alive`` masks.
+
+Radiometric semantics replicate the reference exactly, including its quirks
+(required for image parity at 1024 spp):
+
+* 0/1-NEE accounting: after a diffuse bounce, light arrives only via the
+  *pending* ``directLight`` added at the NEXT bounce, scaled by the
+  attenuation that already includes this bounce's radiance
+  (raytrace.comp:500-517); emission is added directly only at j==0 or after
+  specular/dielectric bounces (``directLight.x == -1`` sentinel).
+* A pending NEE contribution is dropped when the bounce ray escapes to the
+  environment or russian roulette kills the path (the ``break``s at
+  raytrace.comp:523,533).
+* NaN or negative accumulated color zeroes the whole sample
+  (raytrace.comp:505).
+* The reference's ``misWeight`` divide on emission (raytrace.comp:501) and
+  the ``lightSamplePDF(cosineSample)`` raycast (:453) are *provably inert*:
+  emission survives the ``directLight.x == -1`` select only after
+  specular/dielectric bounces, whose ``cosineMisWeight`` is always 1.  We
+  skip both (one traversal per diffuse bounce saved, identical output).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..ops import env as env_ops
+from ..ops import intersect, traverse
+from ..ops.intersect import BIG, dot
+from ..sampling import bsdf, lights, rng
+from ..scene.types import CompiledScene
+
+INV_PI = bsdf.INV_PI
+
+
+class CameraRays(NamedTuple):
+    origin: jnp.ndarray  # (N,3)
+    direction: jnp.ndarray  # (N,3)
+
+
+def raygen(cam_rotation, cam_pos, fov, aspect, near, pixel_id, width, height,
+           jitter=None):
+    """Primary rays, replicating raytrace.comp:539-560.
+
+    ``uv = pixel / dim`` with no half-pixel offset (reference quirk); the
+    view-plane sits at the hardcoded z=0.1 (:550) while its *size* uses
+    ``nearPlane`` — both reproduced.
+    """
+    x = (pixel_id % width).astype(jnp.float32)
+    y = (pixel_id // width).astype(jnp.float32)
+    if jitter is not None:
+        x = x + jitter[:, 0]
+        y = y + jitter[:, 1]
+    u = x / width
+    v = y / height
+    plane_h = near * jnp.tan(jnp.radians(fov * 0.5)) * 2.0
+    plane_w = plane_h * aspect
+    px = -plane_w / 2.0 + plane_w * u
+    py = -plane_h / 2.0 + plane_h * v
+    point = jnp.stack([px, py, jnp.full_like(px, 0.1)], axis=-1)
+    d = point / jnp.linalg.norm(point, axis=-1, keepdims=True)
+    d = d @ cam_rotation.T
+    origin = jnp.broadcast_to(cam_pos, d.shape)
+    return CameraRays(origin, d)
+
+
+def _gather_hit_attrs(scene: CompiledScene, rays: CameraRays, hit: traverse.Hit):
+    """Deferred hit shading attributes: world point/normal, uv, material id.
+
+    Sphere normals per raytrace.comp:220; triangle normals are the
+    barycentric vertex-normal lerp (quirk Q7: always smooth, :257-259),
+    face-sign flipped then pushed through the object matrix and normalized
+    (:259,318 — note the reference uses M, not inverse-transpose; replicated).
+    """
+    n = hit.dst.shape[0]
+    hp = rays.origin + rays.direction * hit.dst[:, None]
+
+    is_sphere = hit.kind == traverse.KIND_SPHERE
+    is_tri = hit.kind == traverse.KIND_TRI
+    sphere_i = jnp.where(is_sphere, hit.prim, 0)
+    tri_i = jnp.where(is_tri, hit.prim, 0)
+    obj_i = jnp.where(is_tri, hit.obj, 0)
+
+    # Sphere attributes.
+    s_center = scene.sphere_pos[sphere_i]
+    s_n = hp - s_center
+    s_n = s_n / jnp.maximum(jnp.linalg.norm(s_n, axis=-1, keepdims=True), 1e-20)
+    s_n = s_n * jnp.where(hit.front, 1.0, -1.0)[:, None]
+
+    # Triangle attributes.
+    w = 1.0 - hit.u - hit.v
+    vn = scene.tri_vn[tri_i]  # (N,3,3)
+    n_obj = (
+        vn[:, 0] * w[:, None] + vn[:, 1] * hit.u[:, None] + vn[:, 2] * hit.v[:, None]
+    )
+    n_obj = n_obj * jnp.where(hit.front, 1.0, -1.0)[:, None]
+    m = scene.obj_transform[obj_i]
+    n_world = jnp.einsum("nij,nj->ni", m[:, :3, :3], n_obj)
+    n_world = n_world / jnp.maximum(
+        jnp.linalg.norm(n_world, axis=-1, keepdims=True), 1e-20
+    )
+
+    uvs = scene.tri_uv[tri_i]  # (N,3,2)
+    uv = uvs[:, 0] * w[:, None] + uvs[:, 1] * hit.u[:, None] + uvs[:, 2] * hit.v[:, None]
+    degen = (
+        jnp.all(uvs[:, 0] == uvs[:, 1], axis=-1)
+        | jnp.all(uvs[:, 1] == uvs[:, 2], axis=-1)
+        | jnp.all(uvs[:, 2] == uvs[:, 0], axis=-1)
+    )
+    uv = jnp.where(degen[:, None], 0.5, uv)  # raytrace.comp:254-256
+
+    normal = jnp.where(is_sphere[:, None], s_n, n_world)
+    mat = jnp.where(is_sphere, scene.sphere_mat[sphere_i], scene.obj_mat[obj_i])
+    mat = jnp.where(hit.did_hit, mat, 0).astype(jnp.int32)
+    sampler = scene.obj_sampler[obj_i]
+    return hp, normal, uv, mat, sampler
+
+
+def _sample_texture(scene: CompiledScene, tex_id, uv, sampler):
+    """Bilinear/nearest fetch from the padded texture stack.
+
+    Capability extension (quirk Q1): the reference snapshot plumbs
+    ``texture2D[64]`` + 2 samplers but never calls ``texture()``; earlier
+    builds did (renders/dread_texture.png), so real sampling is implemented
+    here.  v is flipped (OBJ uv origin bottom-left vs row-major images).
+    """
+    tid = jnp.maximum(tex_id, 0)
+    hw = scene.tex_size[tid].astype(jnp.float32)  # (N,2) = (h,w)
+    h, w_ = hw[:, 0], hw[:, 1]
+    u = uv[:, 0] - jnp.floor(uv[:, 0])
+    v = uv[:, 1] - jnp.floor(uv[:, 1])
+    fx = u * w_ - 0.5
+    fy = (1.0 - v) * h - 0.5
+
+    def fetch(ix, iy):
+        ix = jnp.clip(ix, 0, (w_ - 1).astype(jnp.int32))
+        iy = jnp.clip(iy, 0, (h - 1).astype(jnp.int32))
+        return scene.tex_data[tid, iy, ix]
+
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    ax = (fx - x0)[:, None]
+    ay = (fy - y0)[:, None]
+    c00 = fetch(x0, y0)
+    c10 = fetch(x0 + 1, y0)
+    c01 = fetch(x0, y0 + 1)
+    c11 = fetch(x0 + 1, y0 + 1)
+    bilinear = (
+        c00 * (1 - ax) * (1 - ay)
+        + c10 * ax * (1 - ay)
+        + c01 * (1 - ax) * ay
+        + c11 * ax * ay
+    )
+    nearest = fetch(
+        jnp.round(fx).astype(jnp.int32), jnp.round(fy).astype(jnp.int32)
+    )
+    return jnp.where((sampler == 1)[:, None], bilinear, nearest)
+
+
+def trace(
+    scene: CompiledScene,
+    rays: CameraRays,
+    pixel_id: jnp.ndarray,
+    frame: jnp.ndarray,
+    sample: jnp.ndarray,
+    cfg: RenderConfig,
+) -> jnp.ndarray:
+    """Path-trace one sample for a batch of rays -> (N,3) linear radiance."""
+    n = rays.origin.shape[0]
+    f3 = lambda v: jnp.full((n, 3), v, jnp.float32)
+
+    class Carry(NamedTuple):
+        origin: jnp.ndarray
+        direction: jnp.ndarray
+        atten: jnp.ndarray
+        total: jnp.ndarray
+        direct: jnp.ndarray
+        alive: jnp.ndarray
+        bad: jnp.ndarray
+
+    init = Carry(
+        origin=rays.origin,
+        direction=rays.direction,
+        atten=f3(1.0),
+        total=f3(0.0),
+        direct=f3(0.0),
+        alive=jnp.ones((n,), bool),
+        bad=jnp.zeros((n,), bool),
+    )
+
+    def bounce(carry: Carry, j):
+        hit = traverse.traverse(scene, carry.origin, carry.direction, carry.alive)
+        did = carry.alive & hit.did_hit
+
+        hp, normal, uv, mat, sampler = _gather_hit_attrs(
+            scene, CameraRays(carry.origin, carry.direction), hit
+        )
+        albedo = scene.mat_albedo[mat]
+        if cfg.enable_textures and scene.meta.get("n_textures", 0) > 0:
+            tex_id = scene.mat_albedo_tex[mat]
+            tex_rgb = _sample_texture(scene, tex_id, uv, sampler)
+            albedo = jnp.where((tex_id >= 0)[:, None], albedo * tex_rgb, albedo)
+        emission = scene.mat_emission[mat] * scene.mat_emission_strength[mat][:, None]
+        reflectance = scene.mat_reflectance[mat]
+        ior = scene.mat_ior[mat]
+
+        # ---- pending light resolve (raytrace.comp:500-505)
+        was_delta = carry.direct[:, 0] == -1.0
+        final_light = jnp.where(was_delta[:, None], emission, carry.direct)
+        contrib = final_light + jnp.where(j == 0, 1.0, 0.0) * emission
+        total = jnp.where(did[:, None], carry.total + contrib * carry.atten, carry.total)
+        # NOTE: the reference adds ``finalLight * attenuation`` and the j==0
+        # emission unscaled; attenuation is 1 at j==0 so folding both through
+        # ``atten`` is exact.
+        bad = carry.bad | (
+            did
+            & (jnp.any(jnp.isnan(total), axis=-1) | jnp.any(total < 0, axis=-1))
+        )
+
+        # ---- escape: environment light (raytrace.comp:531-534)
+        esc = carry.alive & ~hit.did_hit
+        env_l = env_ops.environment_light(scene, carry.direction)
+        total = jnp.where(esc[:, None], total + carry.atten * env_l, total)
+
+        alive = did & ~bad
+
+        # ---- BSDF lobes (branchless; raytrace.comp:507-515)
+        u6 = rng.uniforms(cfg.seed, pixel_id, frame, sample, j, 7)
+        is_spec = reflectance != 0.0
+        is_diel = ~is_spec & (ior != -1.0)
+        is_diff = ~is_spec & ~is_diel
+
+        # diffuse + NEE
+        nee_origin = hp + normal * 0.01  # raytrace.comp:432
+        l_dir, li, n_lights_w = lights.sample_rect_light(
+            scene, nee_origin, u6[:, 0], u6[:, 1], u6[:, 2]
+        )
+        nee_hit = traverse.traverse(scene, nee_origin, l_dir, alive & is_diff)
+        nee_mat = jnp.where(
+            nee_hit.kind == traverse.KIND_SPHERE,
+            scene.sphere_mat[jnp.where(nee_hit.kind == traverse.KIND_SPHERE, nee_hit.prim, 0)],
+            scene.obj_mat[jnp.where(nee_hit.kind == traverse.KIND_TRI, nee_hit.obj, 0)],
+        )
+        nee_mat = jnp.where(nee_hit.did_hit, nee_mat, 0).astype(jnp.int32)
+        nee_strength = scene.mat_emission_strength[nee_mat]
+        l_emit = scene.mat_emission[nee_mat] * nee_strength[:, None]
+        hit_emissive = nee_hit.did_hit & (nee_strength > 0.0)
+        real_l_pdf = lights.rect_light_pdf(scene, li, l_dir, nee_hit.dst, hit_emissive)
+        real_l_pdf = real_l_pdf / n_lights_w  # uniform light pick
+        cos_pdf_at_l = bsdf.cosine_hemisphere_pdf(normal, l_dir)
+        w1 = real_l_pdf**2 / (real_l_pdf**2 + cos_pdf_at_l**2)
+        w1 = jnp.where(jnp.isnan(w1), 0.0, w1)  # raytrace.comp:450
+
+        cos_dir = bsdf.cosine_hemisphere_dir(normal, u6[:, 3], u6[:, 4])
+        real_cos_pdf = bsdf.cosine_hemisphere_pdf(normal, cos_dir)
+        rad_diff = (
+            albedo
+            * INV_PI
+            * (dot(normal, cos_dir) / jnp.maximum(real_cos_pdf, 1e-20))[:, None]
+        )
+        direct_diff = (
+            l_emit
+            * albedo
+            * (
+                INV_PI
+                * jnp.maximum(0.0, dot(normal, l_dir))
+                * jnp.where(real_l_pdf == 0.0, 0.0, w1 / jnp.maximum(real_l_pdf, 1e-20))
+            )[:, None]
+        )
+
+        # specular
+        dir_spec = intersect.reflect(carry.direction, normal)
+
+        # dielectric (raytrace.comp:471-481)
+        ior_eff = jnp.where(hit.front, 1.0 / ior, ior)
+        cosine = dot(-carry.direction, normal)
+        sine = jnp.sqrt(jnp.maximum(0.0, 1.0 - cosine * cosine))
+        solution = (ior_eff * sine > 1.0) | (
+            bsdf.schlick(cosine, ior_eff) > u6[:, 5]
+        )
+        dir_diel = jnp.where(
+            solution[:, None],
+            dir_spec,
+            intersect.refract(carry.direction, normal, ior_eff),
+        )
+        sign_diel = jnp.where(
+            solution, 1.0, jnp.sign(dot(normal, carry.direction))
+        )
+
+        # ---- select lobe
+        new_dir = jnp.where(
+            is_spec[:, None],
+            dir_spec,
+            jnp.where(is_diel[:, None], dir_diel, cos_dir),
+        )
+        radiance = jnp.where(is_diff[:, None], rad_diff, 1.0)
+        new_direct = jnp.where(is_diff[:, None], direct_diff, -1.0)
+        origin_sign = jnp.where(is_diel, sign_diel, 1.0)
+
+        atten = carry.atten * jnp.where(alive[:, None], radiance, 1.0)
+        direct = jnp.where(alive[:, None], new_direct, carry.direct)
+
+        # ---- russian roulette (raytrace.comp:519-524)
+        rr = jnp.minimum(jnp.max(atten, axis=-1), cfg.rr_clamp)
+        rr = jnp.where(j <= cfg.rr_start_bounce, 1.0, rr)
+        killed = u6[:, 6] > rr
+        alive = alive & ~killed
+        atten = atten / jnp.maximum(rr, 1e-20)[:, None]
+
+        new_origin = hp + normal * (origin_sign * 1e-5)[:, None]
+        out = Carry(
+            origin=jnp.where(alive[:, None], new_origin, carry.origin),
+            direction=jnp.where(alive[:, None], new_dir, carry.direction),
+            atten=atten,
+            total=total,
+            direct=direct,
+            alive=alive,
+            bad=bad,
+        )
+        return out, None
+
+    final, _ = jax.lax.scan(
+        bounce, init, jnp.arange(cfg.bounce_limit + 1, dtype=jnp.int32)
+    )
+    return jnp.where(final.bad[:, None], 0.0, final.total)
+
+
+def render_sample(
+    scene: CompiledScene,
+    cam_rotation,
+    cam_pos,
+    fov,
+    aspect,
+    near,
+    pixel_id,
+    frame,
+    sample,
+    cfg: RenderConfig,
+):
+    """One path-traced sample per listed pixel -> (N,3)."""
+    jitter = None
+    if cfg.aa_jitter:
+        j2 = rng.uniforms(cfg.seed ^ 0xA11A5, pixel_id, frame, sample, 999, 2)
+        jitter = j2 - 0.5
+    rays = raygen(
+        cam_rotation, cam_pos, fov, aspect, near, pixel_id, cfg.width, cfg.height,
+        jitter,
+    )
+    return trace(scene, rays, pixel_id, frame, sample, cfg)

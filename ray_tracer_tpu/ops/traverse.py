@@ -1,0 +1,197 @@
+"""Wavefront scene traversal: stackless octant-threaded BVH walk.
+
+TPU-native replacement for ``calculateIntersections``
+(``shaders/raytrace.comp:276-353``).  Design differences from the GLSL
+megakernel, driven by the hardware:
+
+* The reference keeps a 64-deep *per-thread* stack and branches per ray.
+  Per-lane stacks and divergent control flow are hostile to the TPU's 8x128
+  VPU, so each ray instead carries a single node pointer through one of 8
+  precomputed near-child-first DFS threadings (selected by the ray's
+  direction octant) — see :mod:`ray_tracer_tpu.accel.bvh`.  Every loop step
+  is a dense batched gather + slab test over all live lanes.
+* Object transforms are applied with *precomputed* inverse matrices (the
+  reference recomputes ``inverse(transformMatrix)`` twice per object per ray,
+  quirk Q5, ``raytrace.comp:292-293``).
+* Like the reference, ``t`` is parametric in world units (object-space
+  directions are deliberately NOT renormalized), so hit distances compare
+  across objects and spheres directly.
+
+The object loop mirrors the reference's per-object BVH forest (quirk Q11):
+a ``lax.scan`` over instances, carrying the running closest hit so the
+``dst < closest`` prune sees earlier objects' hits.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.types import CompiledScene
+from . import intersect
+from .intersect import BIG
+
+SENTINEL = jnp.int32(2**31 - 1)
+
+KIND_NONE = 0
+KIND_SPHERE = 1
+KIND_TRI = 2
+
+
+class Hit(NamedTuple):
+    """Closest-hit record (SoA over the ray batch).
+
+    ``u``/``v`` are Moller-Trumbore barycentrics for deferred attribute
+    interpolation (``hit = w*A0 + u*A1 + v*A2``); ``prim`` is the sphere or
+    global triangle index; ``obj`` the instance index for triangles.
+    """
+
+    dst: jnp.ndarray  # (N,) f32, BIG when no hit
+    kind: jnp.ndarray  # (N,) i32: 0 none / 1 sphere / 2 triangle
+    prim: jnp.ndarray  # (N,) i32
+    obj: jnp.ndarray  # (N,) i32
+    u: jnp.ndarray  # (N,) f32
+    v: jnp.ndarray  # (N,) f32
+    front: jnp.ndarray  # (N,) bool
+
+    @property
+    def did_hit(self):
+        return self.kind != KIND_NONE
+
+
+def _transform_point(inv_m, p):
+    # (N,4,4) x (N,3)
+    return jnp.einsum("nij,nj->ni", inv_m[:, :3, :3], p) + inv_m[:, :3, 3]
+
+
+def _transform_dir(inv_m, d):
+    return jnp.einsum("nij,nj->ni", inv_m[:, :3, :3], d)
+
+
+def traverse(
+    scene: CompiledScene,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    active: jnp.ndarray,
+    max_steps: int = 4096,
+) -> Hit:
+    """Closest hit for a batch of world-space rays.
+
+    ``active`` masks lanes; inactive lanes return no-hit without traversal
+    work (their node pointer starts at the sentinel).
+    """
+    n = origin.shape[0]
+    n_nodes = scene.bvh_index.shape[0]
+    max_leaf = scene.max_leaf_tris
+
+    best = Hit(
+        dst=jnp.full((n,), BIG),
+        kind=jnp.zeros((n,), jnp.int32),
+        prim=jnp.zeros((n,), jnp.int32),
+        obj=jnp.zeros((n,), jnp.int32),
+        u=jnp.zeros((n,)),
+        v=jnp.zeros((n,)),
+        front=jnp.zeros((n,), bool),
+    )
+
+    # ---- spheres: brute force over the (small, padded) sphere table,
+    # mirroring the reference's linear loop (raytrace.comp:282-287).
+    if scene.n_spheres > 0:
+        s_dst, s_front, s_hit = intersect.intersect_spheres(
+            origin, direction, scene.sphere_pos, scene.sphere_radius
+        )
+        s_dst = jnp.where(s_hit, s_dst, BIG)
+        si = jnp.argmin(s_dst, axis=1)
+        sd = jnp.take_along_axis(s_dst, si[:, None], axis=1)[:, 0]
+        sf = jnp.take_along_axis(s_front, si[:, None], axis=1)[:, 0]
+        better = active & (sd < best.dst)
+        best = Hit(
+            dst=jnp.where(better, sd, best.dst),
+            kind=jnp.where(better, KIND_SPHERE, best.kind),
+            prim=jnp.where(better, si.astype(jnp.int32), best.prim),
+            obj=best.obj,
+            u=best.u,
+            v=best.v,
+            front=jnp.where(better, sf, best.front),
+        )
+
+    if scene.n_objects == 0 or scene.meta.get("n_tris", 0) == 0:
+        return best
+
+    hit_links = scene.bvh_hit_link.reshape(-1)  # (8*B,)
+    miss_links = scene.bvh_miss_link.reshape(-1)
+
+    def per_object(best, obj_params):
+        inv_m, root, obj_id = obj_params
+        inv_b = jnp.broadcast_to(inv_m, (n, 4, 4))
+        o = _transform_point(inv_b, origin)
+        d = _transform_dir(inv_b, direction)
+        inv_dir = 1.0 / d
+        octant = (
+            (inv_dir[:, 0] < 0).astype(jnp.int32)
+            + 2 * (inv_dir[:, 1] < 0).astype(jnp.int32)
+            + 4 * (inv_dir[:, 2] < 0).astype(jnp.int32)
+        )
+        link_base = octant * n_nodes
+
+        node0 = jnp.where(active, jnp.full((n,), root, jnp.int32), SENTINEL)
+
+        def cond(state):
+            node, _ = state
+            return jnp.any(node != SENTINEL)
+
+        def body(state):
+            node, best = state
+            live = node != SENTINEL
+            ni = jnp.where(live, node, 0)
+            bmin = scene.bvh_min[ni]
+            bmax = scene.bvh_max[ni]
+            idx = scene.bvh_index[ni]
+            cnt = scene.bvh_tri_count[ni]
+            t_box = intersect.slab_test(o, inv_dir, bmin, bmax)
+            box_hit = live & (t_box < best.dst)
+            is_leaf = cnt > 0
+
+            # Leaf: unrolled masked triangle tests (leaves are bounded by
+            # the builder's max_leaf_tris).
+            for k in range(max_leaf):
+                valid = box_hit & is_leaf & (k < cnt)
+                ti = jnp.where(valid, idx + k, 0)
+                dst, u, v, w, front, hit = intersect.intersect_tris(
+                    o,
+                    d,
+                    scene.tri_v0[ti],
+                    scene.tri_e1[ti],
+                    scene.tri_e2[ti],
+                    scene.tri_n[ti],
+                    scene.tri_front_only[ti],
+                )
+                closer = valid & hit & (dst < best.dst)
+                best = Hit(
+                    dst=jnp.where(closer, dst, best.dst),
+                    kind=jnp.where(closer, KIND_TRI, best.kind),
+                    prim=jnp.where(closer, ti, best.prim),
+                    obj=jnp.where(closer, obj_id, best.obj),
+                    u=jnp.where(closer, u, best.u),
+                    v=jnp.where(closer, v, best.v),
+                    front=jnp.where(closer, front, best.front),
+                )
+
+            links_idx = link_base + ni
+            go_deeper = box_hit & ~is_leaf
+            nxt = jnp.where(go_deeper, hit_links[links_idx], miss_links[links_idx])
+            node = jnp.where(live, nxt, SENTINEL)
+            return node, best
+
+        _, best = jax.lax.while_loop(cond, body, (node0, best))
+        return best, None
+
+    obj_ids = jnp.arange(scene.obj_bvh_root.shape[0], dtype=jnp.int32)
+    best, _ = jax.lax.scan(
+        per_object,
+        best,
+        (scene.obj_inv_transform, scene.obj_bvh_root, obj_ids),
+    )
+    return best

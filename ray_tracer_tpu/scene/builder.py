@@ -1,0 +1,321 @@
+"""SceneBuilder: the host-side scene compiler.
+
+Replaces the reference's ``prepare_storage_buffers``/``read_obj``/``read_mtl``
+pipeline (``src/vk_engine.cpp:638-1167``): meshes, materials, spheres, lights
+and textures are flattened into the SoA arrays of :class:`CompiledScene`,
+with one BVH per ``usemtl`` group (reference quirk Q11: a per-object BVH
+*forest*, not a global BVH) and precomputed inverse transforms (fixing
+reference quirk Q5, ``shaders/raytrace.comp:292-293``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..accel.bvh import build_forest
+from ..utils.transforms import trs_matrix
+from . import mtlio, objio, textures
+from .types import (
+    Camera,
+    CompiledScene,
+    Environment,
+    InstanceDesc,
+    Material,
+    RectLight,
+    SphereDesc,
+)
+
+
+@dataclass
+class _MeshGroupRef:
+    """A parsed+cached usemtl group, pre-BVH."""
+
+    positions: np.ndarray  # (T,3,3)
+    normals: np.ndarray
+    uvs: np.ndarray
+    front_only: bool
+    smooth: bool
+    material_key: Optional[str]  # resolved mtl material key, or None
+
+
+class SceneBuilder:
+    def __init__(self) -> None:
+        self.materials: List[Material] = []
+        self.spheres: List[SphereDesc] = []
+        self.lights: List[RectLight] = []
+        self.instances: List[Tuple[int, InstanceDesc]] = []  # (group id, desc)
+        self.environment = Environment()
+        self.camera = Camera()
+        self._groups: List[_MeshGroupRef] = []
+        self._mesh_cache: Dict[str, List[int]] = {}  # obj path -> group ids
+        self._mtl_materials: Dict[str, int] = {}  # "mtlpath/name" -> mat idx
+        self._texture_paths: List[str] = []
+
+    # -- materials / primitives -------------------------------------------
+    def add_material(self, mat: Material) -> int:
+        self.materials.append(mat)
+        return len(self.materials) - 1
+
+    def add_sphere(self, position, radius: float, material: int) -> int:
+        self.spheres.append(SphereDesc(tuple(position), float(radius), int(material)))
+        return len(self.spheres) - 1
+
+    def add_rect_light(
+        self, corner, edge_u, edge_v, normal, material: int
+    ) -> int:
+        self.lights.append(
+            RectLight(tuple(corner), tuple(edge_u), tuple(edge_v), tuple(normal), material)
+        )
+        return len(self.lights) - 1
+
+    # -- meshes -------------------------------------------------------------
+    def add_obj(
+        self,
+        path: str,
+        material: int = 0,
+        position=(0.0, 0.0, 0.0),
+        rotation_deg=(0.0, 0.0, 0.0),
+        scale=(1.0, 1.0, 1.0),
+        front_only: bool = False,
+        sampler: int = 0,
+        name: str = "",
+    ) -> None:
+        """Load (or reuse, reference ``vk_engine.cpp:802-815``) an OBJ and add
+        one instance per usemtl group with the given TRS transform."""
+        path = os.path.abspath(path)
+        if np.isscalar(scale):
+            scale = (scale, scale, scale)
+        if path not in self._mesh_cache:
+            mesh = objio.parse_obj(path)
+            if mesh.mtl_path and os.path.exists(mesh.mtl_path):
+                self._ingest_mtl(mesh.mtl_path)
+            group_ids = []
+            for g in mesh.groups:
+                key = None
+                if g.material is not None and mesh.mtl_path:
+                    key = mesh.mtl_path + "/" + g.material
+                self._groups.append(
+                    _MeshGroupRef(
+                        positions=g.positions,
+                        normals=g.normals,
+                        uvs=g.uvs,
+                        front_only=front_only,
+                        smooth=g.smooth,
+                        material_key=key,
+                    )
+                )
+                group_ids.append(len(self._groups) - 1)
+            self._mesh_cache[path] = group_ids
+
+        transform = trs_matrix(position, rotation_deg, scale)
+        for gid in self._mesh_cache[path]:
+            grp = self._groups[gid]
+            mat = (
+                self._mtl_materials[grp.material_key]
+                if grp.material_key in self._mtl_materials
+                else int(material)
+            )
+            self.instances.append(
+                (
+                    gid,
+                    InstanceDesc(
+                        transform=transform,
+                        bvh_root=-1,  # filled at compile
+                        material=mat,
+                        smooth_shade=grp.smooth,
+                        sampler=int(sampler),
+                        name=name or os.path.basename(path),
+                    ),
+                )
+            )
+
+    def _ingest_mtl(self, mtl_path: str) -> None:
+        lib = mtlio.parse_mtl(mtl_path)
+        tex_base = len(self._texture_paths)
+        self._texture_paths.extend(lib.texture_paths)
+        for mname, mat in lib.materials.items():
+            key = mtl_path + "/" + mname
+            if key in self._mtl_materials:
+                continue
+            for attr in ("albedo_tex", "metalness_tex", "alpha_tex", "bump_tex"):
+                v = getattr(mat, attr)
+                if v >= 0:
+                    setattr(mat, attr, v + tex_base)
+            self._mtl_materials[key] = self.add_material(mat)
+
+    # -- environment / camera ----------------------------------------------
+    def set_environment(self, env: Environment) -> None:
+        self.environment = env
+
+    def set_camera(self, cam: Camera) -> None:
+        self.camera = cam
+
+    # -- compile -------------------------------------------------------------
+    def compile(self, max_leaf_tris: int = 4) -> CompiledScene:
+        f32 = np.float32
+        i32 = np.int32
+
+        # ---- triangles: concatenate groups, build BVH forest
+        if self._groups:
+            positions = np.concatenate([g.positions for g in self._groups])
+            normals = np.concatenate([g.normals for g in self._groups])
+            uvs = np.concatenate([g.uvs for g in self._groups])
+            front_only = np.concatenate(
+                [
+                    np.full(g.positions.shape[0], g.front_only, bool)
+                    for g in self._groups
+                ]
+            )
+            offsets = np.cumsum([0] + [g.positions.shape[0] for g in self._groups])
+            group_ranges = [
+                (int(offsets[i]), int(offsets[i + 1] - offsets[i]))
+                for i in range(len(self._groups))
+            ]
+            forest, perm = build_forest(positions, group_ranges, max_leaf_tris)
+            positions = positions[perm]
+            normals = normals[perm]
+            uvs = uvs[perm]
+            front_only = front_only[perm]
+        else:
+            positions = np.zeros((1, 3, 3), f32)
+            normals = np.zeros((1, 3, 3), f32)
+            uvs = np.zeros((1, 3, 2), f32)
+            front_only = np.zeros(1, bool)
+            forest, _ = build_forest(
+                positions, [(0, 1)], max_leaf_tris
+            )  # degenerate 1-node tree keeps shapes non-empty
+
+        tri_v0 = positions[:, 0]
+        tri_e1 = positions[:, 1] - positions[:, 0]  # v1v0, raytrace.comp:229
+        tri_e2 = positions[:, 2] - positions[:, 0]
+        tri_n = np.cross(tri_e1, tri_e2).astype(f32)
+
+        # ---- instances
+        n_obj = len(self.instances)
+        obj_transform = np.tile(np.eye(4, dtype=f32), (max(n_obj, 1), 1, 1))
+        obj_root = np.zeros(max(n_obj, 1), i32)
+        obj_mat = np.zeros(max(n_obj, 1), i32)
+        obj_smooth = np.zeros(max(n_obj, 1), bool)
+        obj_sampler = np.zeros(max(n_obj, 1), i32)
+        for k, (gid, inst) in enumerate(self.instances):
+            obj_transform[k] = inst.transform
+            obj_root[k] = forest.roots[gid] if self._groups else 0
+            obj_mat[k] = inst.material
+            obj_smooth[k] = inst.smooth_shade
+            obj_sampler[k] = inst.sampler
+        obj_inv = np.linalg.inv(obj_transform).astype(f32)
+
+        # ---- materials
+        mats = self.materials or [Material()]
+        m = len(mats)
+
+        def mf(attr, shape=()):
+            return np.asarray([getattr(x, attr) for x in mats], f32).reshape(
+                (m,) + shape
+            )
+
+        def mi(attr):
+            return np.asarray([getattr(x, attr) for x in mats], i32)
+
+        # ---- spheres
+        n_sph = len(self.spheres)
+        sph_pos = np.zeros((max(n_sph, 1), 3), f32)
+        sph_rad = np.zeros(max(n_sph, 1), f32)
+        sph_mat = np.zeros(max(n_sph, 1), i32)
+        for k, s in enumerate(self.spheres):
+            sph_pos[k] = s.position
+            sph_rad[k] = s.radius
+            sph_mat[k] = s.material
+
+        # ---- lights
+        n_li = len(self.lights)
+        li_corner = np.zeros((max(n_li, 1), 3), f32)
+        li_u = np.zeros((max(n_li, 1), 3), f32)
+        li_v = np.zeros((max(n_li, 1), 3), f32)
+        li_n = np.tile(np.array([0, -1, 0], f32), (max(n_li, 1), 1))
+        li_area = np.ones(max(n_li, 1), f32)
+        li_mat = np.zeros(max(n_li, 1), i32)
+        for k, l in enumerate(self.lights):
+            li_corner[k] = l.corner
+            li_u[k] = l.edge_u
+            li_v[k] = l.edge_v
+            li_n[k] = l.normal
+            li_area[k] = l.area
+            li_mat[k] = l.material
+
+        # ---- environment
+        env = self.environment
+        env_horizon = np.asarray(list(env.horizon_color) + [env.sun_focus], f32)
+        env_zenith = np.asarray(list(env.zenith_color) + [env.sun_intensity], f32)
+        env_ground = np.asarray(env.ground_color, f32)
+        env_light_dir = np.asarray(
+            list(env.light_dir) + [1.0 if env.enabled else 0.0], f32
+        )
+
+        tex_data, tex_size = textures.stack_textures(self._texture_paths)
+
+        return CompiledScene(
+            sphere_pos=sph_pos,
+            sphere_radius=sph_rad,
+            sphere_mat=sph_mat,
+            mat_albedo=mf("albedo", (3,)),
+            mat_emission=mf("emission_color", (3,)),
+            mat_emission_strength=mf("emission_strength"),
+            mat_reflectance=mf("reflectance"),
+            mat_ior=mf("ior"),
+            mat_albedo_tex=mi("albedo_tex"),
+            mat_metalness_tex=mi("metalness_tex"),
+            mat_alpha_tex=mi("alpha_tex"),
+            mat_bump_tex=mi("bump_tex"),
+            tri_v0=tri_v0.astype(f32),
+            tri_e1=tri_e1.astype(f32),
+            tri_e2=tri_e2.astype(f32),
+            tri_n=tri_n,
+            tri_front_only=front_only,
+            tri_vn=normals.astype(f32),
+            tri_uv=uvs.astype(f32),
+            obj_transform=obj_transform,
+            obj_inv_transform=obj_inv,
+            obj_bvh_root=obj_root,
+            obj_mat=obj_mat,
+            obj_smooth=obj_smooth,
+            obj_sampler=obj_sampler,
+            bvh_min=forest.node_min,
+            bvh_max=forest.node_max,
+            bvh_index=forest.index,
+            bvh_tri_count=forest.tri_count,
+            bvh_hit_link=forest.hit_link,
+            bvh_miss_link=forest.miss_link,
+            light_corner=li_corner,
+            light_edge_u=li_u,
+            light_edge_v=li_v,
+            light_normal=li_n,
+            light_area=li_area,
+            light_mat=li_mat,
+            env_horizon=env_horizon,
+            env_zenith=env_zenith,
+            env_ground=env_ground,
+            env_light_dir=env_light_dir,
+            tex_data=tex_data,
+            tex_size=tex_size,
+            meta={
+                "n_spheres": n_sph,
+                "n_objects": n_obj,
+                "n_lights": n_li,
+                "n_materials": m,
+                "n_textures": len(self._texture_paths),
+                "n_tris": int(positions.shape[0]) if self._groups else 0,
+                "max_leaf_tris": forest.max_leaf_tris,
+                "bvh_max_depth": forest.max_depth_seen,
+                "camera": (
+                    tuple(self.camera.position),
+                    tuple(self.camera.angles_deg),
+                    float(self.camera.fov),
+                    float(self.camera.near_plane),
+                ),
+            },
+        )

@@ -1,0 +1,144 @@
+"""Integrator-level tests: radiometric semantics, film, RNG, progressive."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ray_tracer_tpu import ProgressiveRenderer, RenderConfig, render, render_frame
+from ray_tracer_tpu.integrator import film, wavefront
+from ray_tracer_tpu.sampling import bsdf, rng
+from ray_tracer_tpu.scene import presets
+from ray_tracer_tpu.scene.builder import SceneBuilder
+from ray_tracer_tpu.scene.types import Camera, Environment, Material
+
+
+CFG = RenderConfig(width=32, height=32, samples_per_pixel=2, bounce_limit=3)
+
+
+@pytest.fixture(scope="module")
+def cornell(request):
+    import os
+
+    assets = os.environ.get("RT_ASSETS", "/root/reference/assets")
+    if not os.path.isdir(assets):
+        pytest.skip("assets missing")
+    return presets.default_scene(assets).compile().device_put()
+
+
+def test_render_finite_nonzero(cornell):
+    img = np.asarray(render(cornell, CFG))
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01
+
+
+def test_render_deterministic(cornell):
+    a = np.asarray(render(cornell, CFG))
+    b = np.asarray(render(cornell, CFG))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_seed_changes_noise(cornell):
+    a = np.asarray(render(cornell, CFG))
+    b = np.asarray(render(cornell, CFG.replace(seed=7)))
+    assert np.abs(a - b).max() > 1e-4
+
+
+def test_tiling_invariance(cornell):
+    """Batch slicing must not change results (counter-based RNG, quirk Q9).
+
+    Tolerance is float-ulp level: different batch shapes compile separately
+    and XLA may reassociate FMAs, but the sampled paths must be identical.
+    """
+    a = np.asarray(render(cornell, CFG))
+    b = np.asarray(render(cornell, CFG.replace(max_rays_per_batch=100)))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_env_only_scene_matches_formula():
+    b = SceneBuilder()
+    b.add_material(Material())
+    b.set_environment(Environment(enabled=True))
+    scene = b.compile().device_put()
+    cfg = RenderConfig(width=16, height=16, samples_per_pixel=1, bounce_limit=0)
+    img = np.asarray(render_frame(scene, cfg, Camera(position=(0, 0, 0), angles_deg=(0, 0, 0))))
+    assert np.isfinite(img).all()
+    # top rows look up (-y): sky; sky is brighter blue-ish than ground grey
+    assert img[0].mean() > 0.3
+
+
+def test_emissive_seen_directly(cornell):
+    """j==0 emission (raytrace.comp:504): camera ray hitting the light shows
+    emissionColor * strength."""
+    cfg = RenderConfig(width=8, height=8, samples_per_pixel=1, bounce_limit=0)
+    # camera inside the box looking straight up at the light
+    cam = Camera(position=(0.0, -0.5, 0.0), angles_deg=(-90.0, 0.0, 0.0))
+    img = np.asarray(render_frame(cornell, cfg, cam))
+    assert img.max() == pytest.approx(2.4, rel=1e-3)
+
+
+def test_progressive_matches_single(cornell):
+    """Progressive mean over frames == one render with same total samples is
+    NOT bitwise (different sample indices), but must agree statistically."""
+    pr = ProgressiveRenderer(cornell, CFG.replace(samples_per_pixel=1))
+    for _ in range(8):
+        acc = pr.step()
+    single = render_frame(cornell, CFG.replace(samples_per_pixel=8), n_samples=8)
+    d = np.abs(np.asarray(acc).mean() - np.asarray(single).mean())
+    assert d < 0.05
+
+
+def test_progressive_checkpoint_roundtrip(cornell, tmp_path):
+    cfg = CFG.replace(samples_per_pixel=1)
+    pr = ProgressiveRenderer(cornell, cfg)
+    pr.step()
+    pr.step()
+    path = str(tmp_path / "state.npz")
+    pr.save_state(path)
+
+    pr2 = ProgressiveRenderer(cornell, cfg)
+    pr2.load_state(path)
+    a = pr.step()
+    b = pr2.step()
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_camera_move_resets(cornell):
+    pr = ProgressiveRenderer(cornell, CFG)
+    pr.step()
+    pr.move_camera(Camera(position=(0, -0.5, -2.0)))
+    assert pr.frame == 0
+    assert float(jnp.abs(pr.accum).max()) == 0.0
+
+
+def test_rng_uniform_and_decorrelated():
+    u = np.asarray(rng.uniforms(0, jnp.arange(4096), 0, 0, 0, 4))
+    assert u.shape == (4096, 4)
+    assert 0.45 < u.mean() < 0.55
+    assert u.min() >= 0.0 and u.max() < 1.0
+    # neighbouring pixels decorrelated
+    c = np.corrcoef(u[:-1, 0], u[1:, 0])[0, 1]
+    assert abs(c) < 0.05
+
+
+def test_cosine_hemisphere_distribution(rand):
+    n = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (20000, 1))
+    r = rand.uniform(size=(20000, 2)).astype(np.float32)
+    d = np.asarray(bsdf.cosine_hemisphere_dir(n, jnp.asarray(r[:, 0]), jnp.asarray(r[:, 1])))
+    assert (d[:, 2] > 0).all()
+    # E[cos theta] = 2/3 for pdf = cos/pi
+    assert abs(d[:, 2].mean() - 2.0 / 3.0) < 0.01
+
+
+def test_film_magenta_canary():
+    img = jnp.array([[[np.nan, 0.0, 0.0], [0.2, 0.3, 0.4]]])
+    out = np.asarray(film.finalize(img))
+    np.testing.assert_allclose(out[0, 0], [1, 0, 1])
+    np.testing.assert_allclose(out[0, 1], [0.2, 0.3, 0.4], rtol=1e-6)
+
+
+def test_progressive_blend_weights():
+    acc = jnp.ones((2, 2, 3))
+    new = jnp.zeros((2, 2, 3))
+    out = film.progressive_blend(acc, new, jnp.int32(3))  # w = 1/4
+    np.testing.assert_allclose(np.asarray(out), 0.75)
