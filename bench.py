@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark: Mrays/sec on the heaviest in-tree scene, one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline context (BASELINE.md): the reference publishes no numbers; the
+north-star target is 200 Mrays/s (Sponza @1080p on one v5p chip).  The
+sponza/dragon meshes are absent from the reference tree (SURVEY.md §6
+caveat), so the default workload is the heaviest available mesh —
+klein_bottle.obj (35,840 tris) in the Cornell box at 1080p — and
+``vs_baseline`` is reported against the 200 Mrays/s target.
+
+Rays counted = traversals actually performed (primary + bounce + NEE
+shadow), the same events the reference's stats counters track
+(raytrace.comp:276).
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("RT_BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
+    from ray_tracer_tpu import RenderConfig
+    from ray_tracer_tpu.api import _camera_arrays, scene_camera
+    from ray_tracer_tpu.integrator import wavefront
+    from ray_tracer_tpu.scene import presets
+
+    width = int(os.environ.get("RT_BENCH_WIDTH", 1920))
+    height = int(os.environ.get("RT_BENCH_HEIGHT", 1080))
+    spp = int(os.environ.get("RT_BENCH_SPP", 4))
+    mesh_name = os.environ.get("RT_BENCH_MESH", "klein_bottle.obj")
+
+    cfg = RenderConfig(width=width, height=height, bounce_limit=8)
+    scene = (
+        presets.mesh_scene(mesh_name, material=presets.WHITE, scale=0.4,
+                           position=(0.0, 0.2, 0.0))
+        .compile()
+        .device_put()
+    )
+    cam = scene_camera(scene)
+    rot, pos, fov, aspect, near = _camera_arrays(cam, cfg)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def sample_with_stats(scene, rot, pos, fov, aspect, near, ids, frame,
+                          sample, cfg):
+        rays = wavefront.raygen(
+            rot, pos, fov, aspect, near, ids, cfg.width, cfg.height
+        )
+        return wavefront.trace(scene, rays, ids, frame, sample, cfg,
+                               with_stats=True)
+
+    n_pix = cfg.n_pixels
+    tile = min(n_pix, cfg.max_rays_per_batch)
+    ids0 = jnp.arange(tile, dtype=jnp.int32)
+
+    # Warmup / compile.
+    color, nrays = sample_with_stats(
+        scene, rot, pos, fov, aspect, near, ids0, jnp.int32(0), jnp.int32(0), cfg
+    )
+    jax.block_until_ready(color)
+
+    total_rays = 0.0
+    t0 = time.perf_counter()
+    for s in range(spp):
+        for start in range(0, n_pix, tile):
+            count = min(tile, n_pix - start)
+            ids = jnp.arange(start, start + count, dtype=jnp.int32)
+            color, nrays = sample_with_stats(
+                scene, rot, pos, fov, aspect, near, ids,
+                jnp.int32(0), jnp.int32(s), cfg,
+            )
+            total_rays += float(nrays)
+    jax.block_until_ready(color)
+    dt = time.perf_counter() - t0
+
+    mrays = total_rays / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": f"Mrays/s {mesh_name} in cornell @{width}x{height} spp{spp} b8",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 200.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

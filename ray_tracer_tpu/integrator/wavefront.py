@@ -175,8 +175,13 @@ def trace(
     frame: jnp.ndarray,
     sample: jnp.ndarray,
     cfg: RenderConfig,
-) -> jnp.ndarray:
-    """Path-trace one sample for a batch of rays -> (N,3) linear radiance."""
+    with_stats: bool = False,
+):
+    """Path-trace one sample for a batch of rays -> (N,3) linear radiance.
+
+    With ``with_stats`` also returns the number of traversals actually
+    performed (main + NEE shadow rays) — the Mrays/s numerator, the TPU
+    analogue of the reference's ``stats[2]`` counters (raytrace.comp:276)."""
     n = rays.origin.shape[0]
     f3 = lambda v: jnp.full((n, 3), v, jnp.float32)
 
@@ -188,6 +193,7 @@ def trace(
         direct: jnp.ndarray
         alive: jnp.ndarray
         bad: jnp.ndarray
+        n_rays: jnp.ndarray
 
     init = Carry(
         origin=rays.origin,
@@ -197,6 +203,7 @@ def trace(
         direct=f3(0.0),
         alive=jnp.ones((n,), bool),
         bad=jnp.zeros((n,), bool),
+        n_rays=jnp.zeros((), jnp.float32),
     )
 
     def bounce(carry: Carry, j):
@@ -318,6 +325,12 @@ def trace(
         alive = alive & ~killed
         atten = atten / jnp.maximum(rr, 1e-20)[:, None]
 
+        n_rays = (
+            carry.n_rays
+            + jnp.sum(carry.alive.astype(jnp.float32))
+            + jnp.sum((alive & is_diff).astype(jnp.float32))
+        )
+
         new_origin = hp + normal * (origin_sign * 1e-5)[:, None]
         out = Carry(
             origin=jnp.where(alive[:, None], new_origin, carry.origin),
@@ -327,13 +340,17 @@ def trace(
             direct=direct,
             alive=alive,
             bad=bad,
+            n_rays=n_rays,
         )
         return out, None
 
     final, _ = jax.lax.scan(
         bounce, init, jnp.arange(cfg.bounce_limit + 1, dtype=jnp.int32)
     )
-    return jnp.where(final.bad[:, None], 0.0, final.total)
+    color = jnp.where(final.bad[:, None], 0.0, final.total)
+    if with_stats:
+        return color, final.n_rays
+    return color
 
 
 def render_sample(

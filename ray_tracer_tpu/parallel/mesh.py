@@ -1,0 +1,111 @@
+"""Multi-device rendering: SPMD over a jax.sharding.Mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2d: compute and graphics
+even share one queue, ``vk_engine.cpp:115-117``).  The TPU-native scaling
+model shards the renderer's two embarrassingly-parallel axes over the mesh:
+
+* ``data`` — pixel batches (the DP analogue): each device path-traces its
+  pixel shard against a replicated scene (scene arrays are MBs; replication
+  is free, SURVEY.md §5).
+* ``sample`` — samples-per-pixel (the SP analogue): devices trace disjoint
+  sample indices for the *same* pixels and reduce with ``psum`` over ICI.
+
+No collective is on the hot path except the final sample-axis ``pmean``.
+RNG is counter-based on (pixel, sample), so sharding does not change the
+sampled paths (quirk Q9 discipline).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..integrator import wavefront
+from ..scene.types import Camera, CompiledScene
+from ..api import _camera_arrays, scene_camera
+
+DATA_AXIS = "data"
+SAMPLE_AXIS = "sample"
+
+
+def make_mesh(
+    n_data: Optional[int] = None, n_sample: int = 1, devices=None
+) -> Mesh:
+    """Build a (data, sample) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_sample
+    assert n_data * n_sample == len(devices), "mesh must use all devices"
+    dev_array = np.asarray(devices).reshape(n_data, n_sample)
+    return Mesh(dev_array, (DATA_AXIS, SAMPLE_AXIS))
+
+
+def _shard_render(scene, rot, pos, fov, aspect, near, pixel_ids, frame, cfg,
+                  spp_total):
+    """Per-shard body: trace my pixel shard x my sample-index slice."""
+    n_sample = jax.lax.axis_size(SAMPLE_AXIS)
+    my_sample = jax.lax.axis_index(SAMPLE_AXIS)
+    spp_local = spp_total // n_sample
+    sample_base = my_sample * spp_local
+
+    def one(acc, s):
+        c = wavefront.render_sample(
+            scene, rot, pos, fov, aspect, near, pixel_ids, frame,
+            sample_base + s, cfg,
+        )
+        return acc + c, None
+
+    acc, _ = jax.lax.scan(
+        one,
+        jnp.zeros((pixel_ids.shape[0], 3), jnp.float32),
+        jnp.arange(spp_local, dtype=jnp.int32),
+    )
+    color = acc / spp_local
+    return jax.lax.pmean(color, SAMPLE_AXIS)
+
+
+def make_sharded_render_fn(mesh: Mesh, cfg: RenderConfig, spp_total: int):
+    """Returns jitted fn(scene, rot, pos, fov, aspect, near, pixel_ids, frame)
+    -> (N,3), with pixel_ids sharded over the data axis and the scene
+    replicated."""
+    fn = jax.shard_map(
+        functools.partial(_shard_render, cfg=cfg, spp_total=spp_total),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(DATA_AXIS), P()),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def render_frame_sharded(
+    scene: CompiledScene,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    camera: Optional[Camera] = None,
+    frame: int = 0,
+) -> jnp.ndarray:
+    """Full-frame multi-device render -> (H,W,3) on host."""
+    cam = camera or scene_camera(scene)
+    rot, pos, fov, aspect, near = _camera_arrays(cam, cfg)
+    n_data = mesh.shape[DATA_AXIS]
+    n_pix = cfg.n_pixels
+    pad = (-n_pix) % n_data
+    ids = jnp.arange(n_pix + pad, dtype=jnp.int32)
+    ids = jnp.where(ids < n_pix, ids, 0)  # pad lanes re-trace pixel 0
+
+    scene_sharding = NamedSharding(mesh, P())
+    scene_dev = scene.device_put(scene_sharding)
+    ids = jax.device_put(ids, NamedSharding(mesh, P(DATA_AXIS)))
+
+    fn = make_sharded_render_fn(mesh, cfg, cfg.samples_per_pixel)
+    out = fn(scene_dev, rot, pos, fov, aspect, near, ids, jnp.int32(frame))
+    out = np.asarray(out)[:n_pix]
+    return jnp.asarray(out.reshape(cfg.height, cfg.width, 3))

@@ -1,0 +1,48 @@
+"""Sharded rendering tests on the 8-device virtual CPU mesh (SURVEY.md §4:
+"multi-node without a cluster")."""
+
+import numpy as np
+import pytest
+import jax
+
+from ray_tracer_tpu import RenderConfig, render
+from ray_tracer_tpu.parallel import mesh as pmesh
+from ray_tracer_tpu.scene import presets
+
+CFG = RenderConfig(width=32, height=32, samples_per_pixel=4, bounce_limit=3)
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    import os
+
+    assets = os.environ.get("RT_ASSETS", "/root/reference/assets")
+    if not os.path.isdir(assets):
+        pytest.skip("assets missing")
+    return presets.default_scene(assets).compile()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_data_parallel_matches_single_device(cornell):
+    m = pmesh.make_mesh(n_data=8, n_sample=1)
+    sharded = np.asarray(pmesh.render_frame_sharded(cornell, CFG, m))
+    single = np.asarray(render(cornell.device_put(), CFG))
+    np.testing.assert_allclose(sharded, single, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_data_x_sample_mesh_matches(cornell):
+    m = pmesh.make_mesh(n_data=4, n_sample=2)
+    sharded = np.asarray(pmesh.render_frame_sharded(cornell, CFG, m))
+    single = np.asarray(render(cornell.device_put(), CFG))
+    # sample-axis split changes only the order of the 4-sample mean
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sample_only_mesh(cornell):
+    m = pmesh.make_mesh(n_data=1, n_sample=8)
+    cfg = CFG.replace(samples_per_pixel=8)
+    sharded = np.asarray(pmesh.render_frame_sharded(cornell, cfg, m))
+    single = np.asarray(render(cornell.device_put(), cfg))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
