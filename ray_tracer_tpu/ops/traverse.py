@@ -24,6 +24,7 @@ a ``lax.scan`` over instances, carrying the running closest hit so the
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -32,6 +33,31 @@ import jax.numpy as jnp
 from ..scene.types import CompiledScene
 from . import intersect
 from .intersect import BIG
+
+# Packet-kernel VMEM budget: nodes (32B) + tris (64B) must fit alongside
+# ray/output blocks in ~16MB VMEM.
+_PACKET_VMEM_BUDGET = 9_000_000
+
+
+def _packet_mode(scene: CompiledScene) -> str:
+    """'off' | 'compiled' | 'interpret' — static (trace-time) decision.
+
+    RT_PACKET=0 forces the gather walk, =1 forces the Pallas packet kernel,
+    =interpret runs the kernel in interpreter mode (CPU testing); default
+    'auto' uses the kernel on TPU backends when the scene fits VMEM.
+    """
+    mode = os.environ.get("RT_PACKET", "auto")
+    if mode == "0" or not scene.meta.get("flattened", False):
+        return "off"
+    n_nodes = scene.bvh_packed.shape[0]
+    n_tris = scene.tri_packed.shape[0]
+    if n_nodes * 32 + n_tris * 64 > _PACKET_VMEM_BUDGET:
+        return "off"
+    if mode == "interpret":
+        return "interpret"
+    if mode == "1":
+        return "compiled"
+    return "compiled" if jax.default_backend() in ("tpu", "axon") else "off"
 
 SENTINEL = jnp.int32(2**31 - 1)
 
@@ -123,69 +149,53 @@ def traverse(
     hit_links = scene.bvh_hit_link.reshape(-1)  # (8*B,)
     miss_links = scene.bvh_miss_link.reshape(-1)
 
+    mode = _packet_mode(scene)
+    if mode != "off":
+        from ..kernels import packet
+
+        tmax0 = jnp.where(active, best.dst, -BIG)
+        meta = jnp.stack(
+            [scene.bvh_index, scene.bvh_tri_count], axis=1
+        ).astype(jnp.int32)
+        dst, prim, u, v, front = packet.packet_traverse(
+            scene.bvh_packed,
+            meta,
+            scene.tri_packed,
+            origin,
+            direction,
+            tmax0,
+            scene.obj_bvh_root[0],
+            max_leaf=scene.max_leaf_tris,
+            interpret=(mode == "interpret"),
+        )
+        tri_hit = prim >= 0
+        owner = scene.tri_obj[jnp.where(tri_hit, prim, 0)]
+        return Hit(
+            dst=jnp.where(tri_hit, dst, best.dst),
+            kind=jnp.where(tri_hit, KIND_TRI, best.kind),
+            prim=jnp.where(tri_hit, prim, best.prim),
+            obj=jnp.where(tri_hit, owner, best.obj),
+            u=jnp.where(tri_hit, u, best.u),
+            v=jnp.where(tri_hit, v, best.v),
+            front=jnp.where(tri_hit, front, best.front),
+        )
+
+    if scene.meta.get("flattened", False):
+        # Single world-space BVH: one walk, no transforms, no object loop.
+        return _walk(
+            scene, hit_links, miss_links, origin, direction, active, best,
+            root=scene.obj_bvh_root[0], obj_id=None,
+        )
+
     def per_object(best, obj_params):
         inv_m, root, obj_id = obj_params
         inv_b = jnp.broadcast_to(inv_m, (n, 4, 4))
         o = _transform_point(inv_b, origin)
         d = _transform_dir(inv_b, direction)
-        inv_dir = 1.0 / d
-        octant = (
-            (inv_dir[:, 0] < 0).astype(jnp.int32)
-            + 2 * (inv_dir[:, 1] < 0).astype(jnp.int32)
-            + 4 * (inv_dir[:, 2] < 0).astype(jnp.int32)
+        best = _walk(
+            scene, hit_links, miss_links, o, d, active, best,
+            root=root, obj_id=obj_id,
         )
-        link_base = octant * n_nodes
-
-        node0 = jnp.where(active, jnp.full((n,), root, jnp.int32), SENTINEL)
-
-        def cond(state):
-            node, _ = state
-            return jnp.any(node != SENTINEL)
-
-        def body(state):
-            node, best = state
-            live = node != SENTINEL
-            ni = jnp.where(live, node, 0)
-            bmin = scene.bvh_min[ni]
-            bmax = scene.bvh_max[ni]
-            idx = scene.bvh_index[ni]
-            cnt = scene.bvh_tri_count[ni]
-            t_box = intersect.slab_test(o, inv_dir, bmin, bmax)
-            box_hit = live & (t_box < best.dst)
-            is_leaf = cnt > 0
-
-            # Leaf: unrolled masked triangle tests (leaves are bounded by
-            # the builder's max_leaf_tris).
-            for k in range(max_leaf):
-                valid = box_hit & is_leaf & (k < cnt)
-                ti = jnp.where(valid, idx + k, 0)
-                dst, u, v, w, front, hit = intersect.intersect_tris(
-                    o,
-                    d,
-                    scene.tri_v0[ti],
-                    scene.tri_e1[ti],
-                    scene.tri_e2[ti],
-                    scene.tri_n[ti],
-                    scene.tri_front_only[ti],
-                )
-                closer = valid & hit & (dst < best.dst)
-                best = Hit(
-                    dst=jnp.where(closer, dst, best.dst),
-                    kind=jnp.where(closer, KIND_TRI, best.kind),
-                    prim=jnp.where(closer, ti, best.prim),
-                    obj=jnp.where(closer, obj_id, best.obj),
-                    u=jnp.where(closer, u, best.u),
-                    v=jnp.where(closer, v, best.v),
-                    front=jnp.where(closer, front, best.front),
-                )
-
-            links_idx = link_base + ni
-            go_deeper = box_hit & ~is_leaf
-            nxt = jnp.where(go_deeper, hit_links[links_idx], miss_links[links_idx])
-            node = jnp.where(live, nxt, SENTINEL)
-            return node, best
-
-        _, best = jax.lax.while_loop(cond, body, (node0, best))
         return best, None
 
     obj_ids = jnp.arange(scene.obj_bvh_root.shape[0], dtype=jnp.int32)
@@ -194,4 +204,82 @@ def traverse(
         best,
         (scene.obj_inv_transform, scene.obj_bvh_root, obj_ids),
     )
+    return best
+
+
+def _walk(scene, hit_links, miss_links, o, d, active, best, root, obj_id):
+    """One stackless octant-threaded walk of a single BVH tree.
+
+    ``obj_id=None``: flattened scene — the owning instance comes from the
+    packed triangle row; otherwise the scalar instance id of this forest
+    entry.  All hot-loop reads go through the *packed* single-row-per-record
+    arrays (one gather per node, one per link pair, one per leaf triangle)
+    instead of 8+ separate SoA gathers.
+    """
+    n = o.shape[0]
+    n_nodes = scene.bvh_index.shape[0]
+    max_leaf = scene.max_leaf_tris
+    inv_dir = 1.0 / d
+    octant = (
+        (inv_dir[:, 0] < 0).astype(jnp.int32)
+        + 2 * (inv_dir[:, 1] < 0).astype(jnp.int32)
+        + 4 * (inv_dir[:, 2] < 0).astype(jnp.int32)
+    )
+    link_base = octant * n_nodes
+
+    node0 = jnp.where(active, jnp.broadcast_to(root, (n,)).astype(jnp.int32), SENTINEL)
+
+    def cond(state):
+        node, _ = state
+        return jnp.any(node != SENTINEL)
+
+    def body(state):
+        node, best = state
+        live = node != SENTINEL
+        ni = jnp.where(live, node, 0)
+        row = scene.bvh_packed[ni]  # (N,8): min3|max3|idx|cnt
+        idx = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        cnt = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+        t_box = intersect.slab_test(o, inv_dir, row[:, 0:3], row[:, 3:6])
+        box_hit = live & (t_box < best.dst)
+        is_leaf = cnt > 0
+
+        # Leaf: unrolled masked triangle tests (leaves are bounded by the
+        # builder's max_leaf_tris).
+        for k in range(max_leaf):
+            valid = box_hit & is_leaf & (k < cnt)
+            ti = jnp.where(valid, idx + k, 0)
+            trow = scene.tri_packed[ti]  # (N,16)
+            dst, u, v, w, front, hit = intersect.intersect_tris(
+                o,
+                d,
+                trow[:, 0:3],
+                trow[:, 3:6],
+                trow[:, 6:9],
+                trow[:, 9:12],
+                trow[:, 12] > 0.5,
+            )
+            closer = valid & hit & (dst < best.dst)
+            owner = (
+                jax.lax.bitcast_convert_type(trow[:, 13], jnp.int32)
+                if obj_id is None
+                else obj_id
+            )
+            best = Hit(
+                dst=jnp.where(closer, dst, best.dst),
+                kind=jnp.where(closer, KIND_TRI, best.kind),
+                prim=jnp.where(closer, ti, best.prim),
+                obj=jnp.where(closer, owner, best.obj),
+                u=jnp.where(closer, u, best.u),
+                v=jnp.where(closer, v, best.v),
+                front=jnp.where(closer, front, best.front),
+            )
+
+        lrow = scene.links_packed[link_base + ni]  # (N,2): hit|miss
+        go_deeper = box_hit & ~is_leaf
+        nxt = jnp.where(go_deeper, lrow[:, 0], lrow[:, 1])
+        node = jnp.where(live, nxt, SENTINEL)
+        return node, best
+
+    _, best = jax.lax.while_loop(cond, body, (node0, best))
     return best

@@ -155,12 +155,61 @@ class SceneBuilder:
         self.camera = cam
 
     # -- compile -------------------------------------------------------------
-    def compile(self, max_leaf_tris: int = 4) -> CompiledScene:
+    def compile(
+        self, max_leaf_tris: int = 4, flatten_instances: bool = True
+    ) -> CompiledScene:
+        """Flatten to device arrays.
+
+        ``flatten_instances=True`` (default) bakes every instance's triangles
+        into *world space* and builds ONE global BVH: a single stackless walk
+        replaces the reference's per-object BVH forest loop (quirk Q11,
+        ``raytrace.comp:289-350``) and all per-ray transforms.  Radiometry is
+        unchanged — world-space Moller-Trumbore yields the same parametric t,
+        and normals/materials are baked per triangle.  Set False to keep the
+        reference's forest layout (tris stored once per mesh, transforms at
+        traversal time) when instancing-heavy scenes make duplication too
+        costly.
+        """
         f32 = np.float32
         i32 = np.int32
 
-        # ---- triangles: concatenate groups, build BVH forest
-        if self._groups:
+        # ---- triangles
+        if self._groups and flatten_instances:
+            pos_l, nrm_l, uv_l, fo_l, obj_l = [], [], [], [], []
+            for k, (gid, inst) in enumerate(self.instances):
+                g = self._groups[gid]
+                m = inst.transform
+                p = g.positions @ m[:3, :3].T + m[:3, 3]
+                # reference normal transform is M (not inverse-transpose),
+                # applied after interpolation; baking M per-vertex is
+                # identical by linearity (quirk in _gather_hit_attrs).
+                nrm = g.normals @ m[:3, :3].T
+                uv = g.uvs
+                if np.linalg.det(m[:3, :3]) < 0:
+                    # mirror transform: swap winding so front-face tests
+                    # match the reference's object-space result
+                    p = p[:, [0, 2, 1]]
+                    nrm = nrm[:, [0, 2, 1]]
+                    uv = uv[:, [0, 2, 1]]
+                pos_l.append(p.astype(f32))
+                nrm_l.append(nrm.astype(f32))
+                uv_l.append(uv)
+                fo_l.append(np.full(p.shape[0], g.front_only, bool))
+                obj_l.append(np.full(p.shape[0], k, i32))
+            positions = np.concatenate(pos_l)
+            normals = np.concatenate(nrm_l)
+            uvs = np.concatenate(uv_l)
+            front_only = np.concatenate(fo_l)
+            tri_obj = np.concatenate(obj_l)
+            forest, perm = build_forest(
+                positions, [(0, positions.shape[0])], max_leaf_tris
+            )
+            positions = positions[perm]
+            normals = normals[perm]
+            uvs = uvs[perm]
+            front_only = front_only[perm]
+            tri_obj = tri_obj[perm]
+        elif self._groups:
             positions = np.concatenate([g.positions for g in self._groups])
             normals = np.concatenate([g.normals for g in self._groups])
             uvs = np.concatenate([g.uvs for g in self._groups])
@@ -180,14 +229,17 @@ class SceneBuilder:
             normals = normals[perm]
             uvs = uvs[perm]
             front_only = front_only[perm]
+            tri_obj = np.zeros(positions.shape[0], i32)
         else:
             positions = np.zeros((1, 3, 3), f32)
             normals = np.zeros((1, 3, 3), f32)
             uvs = np.zeros((1, 3, 2), f32)
             front_only = np.zeros(1, bool)
+            tri_obj = np.zeros(1, i32)
             forest, _ = build_forest(
                 positions, [(0, 1)], max_leaf_tris
             )  # degenerate 1-node tree keeps shapes non-empty
+        flattened = bool(self._groups) and flatten_instances
 
         tri_v0 = positions[:, 0]
         tri_e1 = positions[:, 1] - positions[:, 0]  # v1v0, raytrace.comp:229
@@ -203,11 +255,18 @@ class SceneBuilder:
         obj_sampler = np.zeros(max(n_obj, 1), i32)
         for k, (gid, inst) in enumerate(self.instances):
             obj_transform[k] = inst.transform
-            obj_root[k] = forest.roots[gid] if self._groups else 0
+            obj_root[k] = (
+                forest.roots[0 if flattened else gid] if self._groups else 0
+            )
             obj_mat[k] = inst.material
             obj_smooth[k] = inst.smooth_shade
             obj_sampler[k] = inst.sampler
         obj_inv = np.linalg.inv(obj_transform).astype(f32)
+        if flattened:
+            # triangles are world-space; attribute interpolation and normal
+            # transforms must see identity matrices
+            obj_transform = np.tile(np.eye(4, dtype=f32), (max(n_obj, 1), 1, 1))
+            obj_inv = obj_transform.copy()
 
         # ---- materials
         mats = self.materials or [Material()]
@@ -258,6 +317,27 @@ class SceneBuilder:
 
         tex_data, tex_size = textures.stack_textures(self._texture_paths)
 
+        # ---- packed hot-path mirrors (one gather row per record)
+        n_nodes = forest.index.shape[0]
+        bvh_packed = np.zeros((n_nodes, 8), f32)
+        bvh_packed[:, 0:3] = forest.node_min
+        bvh_packed[:, 3:6] = forest.node_max
+        bvh_packed[:, 6] = forest.index.view(f32)
+        bvh_packed[:, 7] = forest.tri_count.view(f32)
+        links_packed = np.stack(
+            [forest.hit_link.reshape(-1), forest.miss_link.reshape(-1)], axis=1
+        ).astype(i32)
+        n_tris = positions.shape[0]
+        tri_packed = np.zeros((n_tris, 16), f32)
+        tri_packed[:, 0:3] = positions[:, 0]
+        tri_packed[:, 3:6] = positions[:, 1] - positions[:, 0]
+        tri_packed[:, 6:9] = positions[:, 2] - positions[:, 0]
+        tri_packed[:, 9:12] = np.cross(
+            tri_packed[:, 3:6], tri_packed[:, 6:9]
+        )
+        tri_packed[:, 12] = front_only.astype(f32)
+        tri_packed[:, 13] = tri_obj.astype(i32).view(f32)
+
         return CompiledScene(
             sphere_pos=sph_pos,
             sphere_radius=sph_rad,
@@ -276,6 +356,7 @@ class SceneBuilder:
             tri_e2=tri_e2.astype(f32),
             tri_n=tri_n,
             tri_front_only=front_only,
+            tri_obj=tri_obj,
             tri_vn=normals.astype(f32),
             tri_uv=uvs.astype(f32),
             obj_transform=obj_transform,
@@ -290,6 +371,9 @@ class SceneBuilder:
             bvh_tri_count=forest.tri_count,
             bvh_hit_link=forest.hit_link,
             bvh_miss_link=forest.miss_link,
+            bvh_packed=bvh_packed,
+            links_packed=links_packed,
+            tri_packed=tri_packed,
             light_corner=li_corner,
             light_edge_u=li_u,
             light_edge_v=li_v,
@@ -310,6 +394,7 @@ class SceneBuilder:
                 "n_textures": len(self._texture_paths),
                 "n_tris": int(positions.shape[0]) if self._groups else 0,
                 "max_leaf_tris": forest.max_leaf_tris,
+                "flattened": flattened,
                 "bvh_max_depth": forest.max_depth_seen,
                 "camera": (
                     tuple(self.camera.position),

@@ -151,6 +151,7 @@ class CompiledScene:
     tri_e2: Any  # (T,3) f32  v2 - v0
     tri_n: Any  # (T,3) f32   cross(e1, e2), geometric normal (unnormalized)
     tri_front_only: Any  # (T,) bool
+    tri_obj: Any  # (T,) i32: owning instance (flattened scenes)
     # Vertex attributes for deferred shading (indexed by reordered tri id).
     tri_vn: Any  # (T,3,3) f32 vertex normals
     tri_uv: Any  # (T,3,2) f32 vertex uvs
@@ -171,6 +172,10 @@ class CompiledScene:
     bvh_tri_count: Any  # (B,) i32: 0 => interior
     bvh_hit_link: Any  # (8,B) i32: next node if AABB hit & interior
     bvh_miss_link: Any  # (8,B) i32: next node if AABB missed / after leaf
+    # Packed single-gather-row mirrors of the above (traversal hot path):
+    bvh_packed: Any  # (B,8) f32: min3 | max3 | index (bitcast) | count (bitcast)
+    links_packed: Any  # (8*B,2) i32: hit | miss, octant-major
+    tri_packed: Any  # (T,16) f32: v0|e1|e2|n | front_only | obj (bitcast) | pad2
 
     # NEE lights.
     light_corner: Any  # (L,3) f32

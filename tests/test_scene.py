@@ -56,11 +56,15 @@ def test_dedupe_reuses_bvh(assets_dir):
     cube = os.path.join(assets_dir, "cube.obj")
     b.add_obj(cube, material=0, position=(0, 0, 0))
     b.add_obj(cube, material=0, position=(2, 0, 0))
-    scene = b.compile()
+    # forest mode: reference dedupe semantics (vk_engine.cpp:802-815)
+    scene = b.compile(flatten_instances=False)
     assert scene.n_objects == 2
-    # both instances share the same BVH root (reference vk_engine.cpp:802-815)
     assert int(scene.obj_bvh_root[0]) == int(scene.obj_bvh_root[1])
     assert scene.meta["n_tris"] == 12  # triangles stored once
+    # flattened mode: instances baked to world space, one global BVH
+    flat = b.compile(flatten_instances=True)
+    assert flat.meta["n_tris"] == 24
+    assert flat.meta["flattened"]
 
 
 def test_default_scene_matches_reference_shape(assets_dir):

@@ -103,3 +103,46 @@ def test_sphere_only_scene(rand):
     np.testing.assert_allclose(np.asarray(hit.dst), 1.0, rtol=1e-5)
     assert np.all(np.asarray(hit.kind) == traverse.KIND_SPHERE)
     assert np.all(np.asarray(hit.prim) == 0)
+
+
+def test_flattened_matches_forest(rand):
+    """Flattening instances to a global world-space BVH must not change any
+    closest hit (it only changes traversal structure)."""
+    import os
+    import tempfile
+
+    from ray_tracer_tpu.scene.types import Material as _M
+
+    tris = (
+        rand.uniform(-2, 2, (40, 1, 3)) + rand.uniform(-0.4, 0.4, (40, 3, 3))
+    ).astype(np.float32)
+    fd, path = tempfile.mkstemp(suffix=".obj")
+    with os.fdopen(fd, "w") as f:
+        for t in tris:
+            for v in t:
+                f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for i in range(40):
+            f.write(f"f {3*i+1} {3*i+2} {3*i+3}\n")
+    b = SceneBuilder()
+    b.add_material(_M())
+    b.add_obj(path, material=0)
+    b.add_obj(path, material=0, position=(0.5, 0.2, 0.1),
+              rotation_deg=(10, 20, 30), scale=(1.1, 0.9, 1.0))
+    os.unlink(path)
+    forest_scene = b.compile(flatten_instances=False).device_put()
+    flat_scene = b.compile(flatten_instances=True).device_put()
+
+    n_rays = 256
+    origin = rand.uniform(-4, 4, (n_rays, 3)).astype(np.float32)
+    direction = rand.normal(size=(n_rays, 3)).astype(np.float32)
+    direction /= np.linalg.norm(direction, axis=-1, keepdims=True)
+    act = jnp.ones(n_rays, bool)
+
+    h1 = traverse.traverse(forest_scene, jnp.asarray(origin), jnp.asarray(direction), act)
+    h2 = traverse.traverse(flat_scene, jnp.asarray(origin), jnp.asarray(direction), act)
+    np.testing.assert_array_equal(np.asarray(h1.did_hit), np.asarray(h2.did_hit))
+    m = np.asarray(h1.did_hit)
+    np.testing.assert_allclose(
+        np.asarray(h1.dst)[m], np.asarray(h2.dst)[m], rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(h1.obj)[m], np.asarray(h2.obj)[m])
