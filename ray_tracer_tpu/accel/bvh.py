@@ -253,13 +253,39 @@ def build_forest(
     tri_verts: np.ndarray,
     groups: Sequence[Tuple[int, int]],
     max_leaf_tris: int = 4,
+    use_native: bool = True,
 ) -> Tuple[BVHForest, np.ndarray]:
     """Build one BVH per (offset, count) triangle group.
 
     Returns the forest and the permutation mapping new (reordered) triangle
     slots to original triangle indices — apply it once to every per-triangle
     attribute array.
+
+    Dispatches to the C++ builder (accel/native.py) when available — numpy
+    SAH takes minutes on Sponza-class meshes; set use_native=False (or env
+    RT_NATIVE_BVH=0) to force the pure-numpy path.
     """
+    import os as _os
+
+    if (
+        use_native
+        and tri_verts.shape[0] > 1
+        and _os.environ.get("RT_NATIVE_BVH", "1") != "0"
+    ):
+        from . import native
+
+        out = native.build_forest_native(tri_verts, groups, max_leaf_tris)
+        if out is not None:
+            # callers apply the returned perm to their attribute arrays
+            return out
+    return _build_forest_numpy(tri_verts, groups, max_leaf_tris)
+
+
+def _build_forest_numpy(
+    tri_verts: np.ndarray,
+    groups: Sequence[Tuple[int, int]],
+    max_leaf_tris: int = 4,
+) -> Tuple[BVHForest, np.ndarray]:
     b = _Builder(tri_verts, max_leaf_tris)
     roots = [b.build_group(lo, lo + n) for lo, n in groups]
     index = np.asarray(b.index, np.int32)

@@ -33,7 +33,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 99999999.0  # python float: jnp scalars become captured consts in pallas
-PACKET = 512  # rays per packet: 4 VPU tiles; good union/parallelism balance
+# Rays per packet, laid out as one native (8,128) VPU tile per block (Mosaic
+# requires sublane/lane-divisible block shapes).
+PACKET = 1024
+_SUB, _LANE = 8, 128
 STACK_DEPTH = 96  # builder max depth is 64 (vk_engine.cpp:1215) + margin
 
 
@@ -197,25 +200,27 @@ def packet_traverse(
 
     def prep(x):
         x = jnp.pad(x, ((0, pad),))
-        return x.reshape(g, PACKET)
+        return x.reshape(g * _SUB, _LANE)
 
     ox, oy, oz = (prep(origin[:, i]) for i in range(3))
     dx, dy, dz = (prep(direction[:, i]) for i in range(3))
     # padded lanes: direction 0 -> inf inv_dir; disable via tmax -BIG
     tmax = jnp.pad(tmax0, ((0, pad),), constant_values=-float(BIG)).reshape(
-        g, PACKET
+        g * _SUB, _LANE
     )
     root_arr = jnp.full((1, 1), root, jnp.int32)
 
-    row_spec = pl.BlockSpec((1, PACKET), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec(
+        (_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     out_shape = [
-        jax.ShapeDtypeStruct((g, PACKET), jnp.float32),  # dst
-        jax.ShapeDtypeStruct((g, PACKET), jnp.int32),  # prim
-        jax.ShapeDtypeStruct((g, PACKET), jnp.float32),  # u
-        jax.ShapeDtypeStruct((g, PACKET), jnp.float32),  # v
-        jax.ShapeDtypeStruct((g, PACKET), jnp.float32),  # front
+        jax.ShapeDtypeStruct((g * _SUB, _LANE), jnp.float32),  # dst
+        jax.ShapeDtypeStruct((g * _SUB, _LANE), jnp.int32),  # prim
+        jax.ShapeDtypeStruct((g * _SUB, _LANE), jnp.float32),  # u
+        jax.ShapeDtypeStruct((g * _SUB, _LANE), jnp.float32),  # v
+        jax.ShapeDtypeStruct((g * _SUB, _LANE), jnp.float32),  # front
     ]
     kernel = functools.partial(_packet_kernel, max_leaf=max_leaf)
     dst, prim, u, v, front = pl.pallas_call(
