@@ -170,3 +170,54 @@ class ProgressiveRenderer:
         self.accum = jnp.asarray(z["accum"])
         self.frame = int(z["frame"])
         self.total_samples = int(z["total_samples"])
+
+
+def render_debug(
+    scene: CompiledScene,
+    cfg: RenderConfig,
+    camera: Optional[Camera] = None,
+    mode: int = 2,
+    box_cap: float = 200.0,
+    tri_cap: float = 50.0,
+) -> jnp.ndarray:
+    """BVH-cost heatmaps, the reference's debug views (raytrace.comp:583-591).
+
+    mode 0: box tests vs box_cap (red above cap); mode 1: triangle tests vs
+    tri_cap; mode 2: r = box/cap, b = tri/cap.  Caps default to the
+    reference's ImGui defaults (vk_engine.h:168-169).  Counts are for the
+    primary-ray traversal (the reference accumulates over the full path —
+    this is the per-BVH-quality view that matters in practice).
+    """
+    from .integrator import wavefront
+    from .ops import traverse as traverse_ops
+
+    cam = camera or scene_camera(scene)
+    rot, pos, fov, aspect, near = _camera_arrays(cam, cfg)
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def run(scene, rot, pos, fov, aspect, near, ids, cfg):
+        rays = wavefront.raygen(
+            rot, pos, fov, aspect, near, ids, cfg.width, cfg.height
+        )
+        _, (box, tri) = traverse_ops.traverse_with_stats(
+            scene, rays.origin, rays.direction, jnp.ones(ids.shape[0], bool)
+        )
+        return box, tri
+
+    ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    box, tri = run(scene, rot, pos, fov, aspect, near, ids, cfg)
+    box = np.asarray(box).reshape(cfg.height, cfg.width)
+    tri = np.asarray(tri).reshape(cfg.height, cfg.width)
+    img = np.zeros((cfg.height, cfg.width, 3), np.float32)
+    if mode == 0:
+        v = box / box_cap
+        img[...] = v[..., None]
+        img[box > box_cap] = (1.0, 0.0, 0.0)
+    elif mode == 1:
+        v = tri / tri_cap
+        img[...] = v[..., None]
+        img[tri > tri_cap] = (1.0, 0.0, 0.0)
+    else:
+        img[..., 0] = box / box_cap
+        img[..., 2] = tri / tri_cap
+    return jnp.asarray(np.clip(img, 0.0, 1.0))

@@ -32,11 +32,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 BIG = 99999999.0  # python float: jnp scalars become captured consts in pallas
-# Rays per packet, laid out as one native (8,128) VPU tile per block (Mosaic
-# requires sublane/lane-divisible block shapes).
-PACKET = 1024
-_SUB, _LANE = 8, 128
+# Rays per packet, laid out as native (8,128) VPU tiles per block (Mosaic
+# requires sublane/lane-divisible block shapes).  Larger packets amortize the
+# scalar traversal loop over more lanes but visit a larger node union
+# (worse for incoherent rays); 1024 = one tile.
+PACKET = int(os.environ.get("RT_PACKET_SIZE", 2048))
+assert PACKET % 1024 == 0
+_SUB, _LANE = 8 * (PACKET // 1024), 128
 STACK_DEPTH = 96  # builder max depth is 64 (vk_engine.cpp:1215) + margin
 
 
@@ -47,7 +52,7 @@ def _scalar(x):
 
 def _packet_kernel(
     nodes_ref,  # (B,8) f32: min3|max3|idx|cnt  (idx/cnt bitcast i32)
-    meta_ref,  # (B,2) i32: idx|cnt (scalar-readable mirror)
+    meta_ref,  # (B,4) i32: idx|cnt|axis|pad (scalar-readable mirror)
     tris_ref,  # (T,16) f32: v0|e1|e2|n|front|obj|pad
     ox_ref, oy_ref, oz_ref,  # (1,P) f32 ray origins
     dx_ref, dy_ref, dz_ref,  # (1,P) f32 ray directions
@@ -133,12 +138,20 @@ def _packet_kernel(
     def cond(sp):
         return sp > 0
 
+    # Packet direction-sign per axis (one-time reductions): drives static
+    # near-child-first ordering via each node's split axis, replacing two
+    # per-visit min-reductions with scalar arithmetic.
+    neg_x = jnp.sum(jnp.where(dx < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dx.size)
+    neg_y = jnp.sum(jnp.where(dy < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dy.size)
+    neg_z = jnp.sum(jnp.where(dz < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dz.size)
+
     def body(sp):
         sp = sp - 1
         ni = stack_ref[sp]
-        meta = meta_ref[pl.ds(ni, 1), :]  # (1,2)
+        meta = meta_ref[pl.ds(ni, 1), :]  # (1,4): idx|cnt|axis|pad
         idx = meta[0, 0]
         cnt = meta[0, 1]
+        axis = meta[0, 2]
 
         def visit_leaf():
             # leaf box was tested at the parent; just intersect
@@ -146,17 +159,20 @@ def _packet_kernel(
             return sp
 
         def visit_interior():
+            best = dst_ref[...]
             t0 = slab(idx)
             t1 = slab(idx + 1)
-            hit0 = jnp.any(t0 < dst_ref[...])
-            hit1 = jnp.any(t1 < dst_ref[...])
-            m0 = jnp.min(t0)
-            m1 = jnp.min(t1)
-            near_is_0 = m0 <= m1
-            near = jnp.where(near_is_0, idx, idx + 1)
-            far = jnp.where(near_is_0, idx + 1, idx)
-            hit_near = jnp.where(near_is_0, hit0, hit1)
-            hit_far = jnp.where(near_is_0, hit1, hit0)
+            hit0 = jnp.any(t0 < best)
+            hit1 = jnp.any(t1 < best)
+            # left child holds centroids below the split plane
+            # (vk_engine.cpp:1244): near = left iff majority dir >= 0
+            neg = jnp.where(
+                axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z)
+            )
+            near = jnp.where(neg, idx + 1, idx)
+            far = jnp.where(neg, idx, idx + 1)
+            hit_near = jnp.where(neg, hit1, hit0)
+            hit_far = jnp.where(neg, hit0, hit1)
 
             def push(s, val, do):
                 @pl.when(do)
@@ -178,10 +194,12 @@ def _packet_kernel(
     jax.lax.while_loop(cond, body, sp0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_leaf", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("max_leaf", "interpret", "packet_size")
+)
 def packet_traverse(
     nodes: jnp.ndarray,  # (B,8) f32 packed
-    meta: jnp.ndarray,  # (B,2) i32 idx|cnt
+    meta: jnp.ndarray,  # (B,4) i32 idx|cnt|axis|pad
     tris: jnp.ndarray,  # (T,16) f32 packed
     origin: jnp.ndarray,  # (N,3)
     direction: jnp.ndarray,  # (N,3)
@@ -189,38 +207,41 @@ def packet_traverse(
     root: int,
     max_leaf: int = 4,
     interpret: bool = False,
+    packet_size: int = None,
 ):
     """Packet-traverse N rays -> (dst, prim, u, v, front) each (N,).
 
     N is padded to a PACKET multiple internally.
     """
+    p_size = packet_size or PACKET
+    sub = 8 * (p_size // 1024)
     n = origin.shape[0]
-    g = -(-n // PACKET)
-    pad = g * PACKET - n
+    g = -(-n // p_size)
+    pad = g * p_size - n
 
     def prep(x):
         x = jnp.pad(x, ((0, pad),))
-        return x.reshape(g * _SUB, _LANE)
+        return x.reshape(g * sub, _LANE)
 
     ox, oy, oz = (prep(origin[:, i]) for i in range(3))
     dx, dy, dz = (prep(direction[:, i]) for i in range(3))
     # padded lanes: direction 0 -> inf inv_dir; disable via tmax -BIG
     tmax = jnp.pad(tmax0, ((0, pad),), constant_values=-float(BIG)).reshape(
-        g * _SUB, _LANE
+        g * sub, _LANE
     )
     root_arr = jnp.full((1, 1), root, jnp.int32)
 
     row_spec = pl.BlockSpec(
-        (_SUB, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (sub, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     out_shape = [
-        jax.ShapeDtypeStruct((g * _SUB, _LANE), jnp.float32),  # dst
-        jax.ShapeDtypeStruct((g * _SUB, _LANE), jnp.int32),  # prim
-        jax.ShapeDtypeStruct((g * _SUB, _LANE), jnp.float32),  # u
-        jax.ShapeDtypeStruct((g * _SUB, _LANE), jnp.float32),  # v
-        jax.ShapeDtypeStruct((g * _SUB, _LANE), jnp.float32),  # front
+        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),  # dst
+        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.int32),  # prim
+        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),  # u
+        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),  # v
+        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),  # front
     ]
     kernel = functools.partial(_packet_kernel, max_leaf=max_leaf)
     dst, prim, u, v, front = pl.pallas_call(

@@ -155,7 +155,13 @@ def traverse(
 
         tmax0 = jnp.where(active, best.dst, -BIG)
         meta = jnp.stack(
-            [scene.bvh_index, scene.bvh_tri_count], axis=1
+            [
+                scene.bvh_index,
+                scene.bvh_tri_count,
+                scene.bvh_axis,
+                jnp.zeros_like(scene.bvh_index),
+            ],
+            axis=1,
         ).astype(jnp.int32)
         dst, prim, u, v, front = packet.packet_traverse(
             scene.bvh_packed,
@@ -207,7 +213,58 @@ def traverse(
     return best
 
 
-def _walk(scene, hit_links, miss_links, o, d, active, best, root, obj_id):
+def traverse_with_stats(scene, origin, direction, active):
+    """Closest hit + (box_tests, tri_tests) per ray.
+
+    Debug/diagnostic path replicating the reference's stats counters
+    (raytrace.comp:276): always uses the gather walk (the packet kernel
+    tracks per-packet, not per-ray, work).  Flattened scenes only need one
+    walk; forest scenes scan objects like :func:`traverse`.
+    """
+    n = origin.shape[0]
+    best = Hit(
+        dst=jnp.full((n,), BIG),
+        kind=jnp.zeros((n,), jnp.int32),
+        prim=jnp.zeros((n,), jnp.int32),
+        obj=jnp.zeros((n,), jnp.int32),
+        u=jnp.zeros((n,)),
+        v=jnp.zeros((n,)),
+        front=jnp.zeros((n,), bool),
+    )
+    stats = (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+    if scene.n_objects == 0 or scene.meta.get("n_tris", 0) == 0:
+        return best, stats
+    hit_links = scene.bvh_hit_link.reshape(-1)
+    miss_links = scene.bvh_miss_link.reshape(-1)
+    if scene.meta.get("flattened", False):
+        return _walk(
+            scene, hit_links, miss_links, origin, direction, active, best,
+            root=scene.obj_bvh_root[0], obj_id=None, stats=stats,
+        )
+
+    def per_object(carry, obj_params):
+        best, stats = carry
+        inv_m, root, obj_id = obj_params
+        inv_b = jnp.broadcast_to(inv_m, (n, 4, 4))
+        o = _transform_point(inv_b, origin)
+        d = _transform_dir(inv_b, direction)
+        best, stats = _walk(
+            scene, hit_links, miss_links, o, d, active, best,
+            root=root, obj_id=obj_id, stats=stats,
+        )
+        return (best, stats), None
+
+    obj_ids = jnp.arange(scene.obj_bvh_root.shape[0], dtype=jnp.int32)
+    (best, stats), _ = jax.lax.scan(
+        per_object,
+        (best, stats),
+        (scene.obj_inv_transform, scene.obj_bvh_root, obj_ids),
+    )
+    return best, stats
+
+
+def _walk(scene, hit_links, miss_links, o, d, active, best, root, obj_id,
+          stats=None):
     """One stackless octant-threaded walk of a single BVH tree.
 
     ``obj_id=None``: flattened scene — the owning instance comes from the
@@ -215,6 +272,10 @@ def _walk(scene, hit_links, miss_links, o, d, active, best, root, obj_id):
     entry.  All hot-loop reads go through the *packed* single-row-per-record
     arrays (one gather per node, one per link pair, one per leaf triangle)
     instead of 8+ separate SoA gathers.
+
+    ``stats``: optional (box_tests, tri_tests) counters, the analogue of the
+    reference's ``stats[2]`` debug counters (raytrace.comp:276,310,338);
+    updated per ray and returned alongside the hit when given.
     """
     n = o.shape[0]
     n_nodes = scene.bvh_index.shape[0]
@@ -229,12 +290,16 @@ def _walk(scene, hit_links, miss_links, o, d, active, best, root, obj_id):
 
     node0 = jnp.where(active, jnp.broadcast_to(root, (n,)).astype(jnp.int32), SENTINEL)
 
+    with_stats = stats is not None
+    if not with_stats:
+        stats = (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+
     def cond(state):
-        node, _ = state
+        node, _, _ = state
         return jnp.any(node != SENTINEL)
 
     def body(state):
-        node, best = state
+        node, best, (box_cnt, tri_cnt) = state
         live = node != SENTINEL
         ni = jnp.where(live, node, 0)
         row = scene.bvh_packed[ni]  # (N,8): min3|max3|idx|cnt
@@ -243,6 +308,7 @@ def _walk(scene, hit_links, miss_links, o, d, active, best, root, obj_id):
         t_box = intersect.slab_test(o, inv_dir, row[:, 0:3], row[:, 3:6])
         box_hit = live & (t_box < best.dst)
         is_leaf = cnt > 0
+        box_cnt = box_cnt + live.astype(jnp.float32)
 
         # Leaf: unrolled masked triangle tests (leaves are bounded by the
         # builder's max_leaf_tris).
@@ -260,6 +326,7 @@ def _walk(scene, hit_links, miss_links, o, d, active, best, root, obj_id):
                 trow[:, 12] > 0.5,
             )
             closer = valid & hit & (dst < best.dst)
+            tri_cnt = tri_cnt + valid.astype(jnp.float32)
             owner = (
                 jax.lax.bitcast_convert_type(trow[:, 13], jnp.int32)
                 if obj_id is None
@@ -279,7 +346,9 @@ def _walk(scene, hit_links, miss_links, o, d, active, best, root, obj_id):
         go_deeper = box_hit & ~is_leaf
         nxt = jnp.where(go_deeper, lrow[:, 0], lrow[:, 1])
         node = jnp.where(live, nxt, SENTINEL)
-        return node, best
+        return node, best, (box_cnt, tri_cnt)
 
-    _, best = jax.lax.while_loop(cond, body, (node0, best))
+    _, best, stats = jax.lax.while_loop(cond, body, (node0, best, stats))
+    if with_stats:
+        return best, stats
     return best

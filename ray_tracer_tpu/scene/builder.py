@@ -369,6 +369,7 @@ class SceneBuilder:
             bvh_max=forest.node_max,
             bvh_index=forest.index,
             bvh_tri_count=forest.tri_count,
+            bvh_axis=forest.axis.astype(np.int32),
             bvh_hit_link=forest.hit_link,
             bvh_miss_link=forest.miss_link,
             bvh_packed=bvh_packed,

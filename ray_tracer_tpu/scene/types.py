@@ -170,6 +170,7 @@ class CompiledScene:
     bvh_max: Any  # (B,3) f32
     bvh_index: Any  # (B,) i32: child pair start (interior) or tri start (leaf)
     bvh_tri_count: Any  # (B,) i32: 0 => interior
+    bvh_axis: Any  # (B,) i32: split axis of interior nodes
     bvh_hit_link: Any  # (8,B) i32: next node if AABB hit & interior
     bvh_miss_link: Any  # (8,B) i32: next node if AABB missed / after leaf
     # Packed single-gather-row mirrors of the above (traversal hot path):

@@ -142,3 +142,14 @@ def test_progressive_blend_weights():
     new = jnp.zeros((2, 2, 3))
     out = film.progressive_blend(acc, new, jnp.int32(3))  # w = 1/4
     np.testing.assert_allclose(np.asarray(out), 0.75)
+
+
+def test_render_debug_heatmaps(cornell):
+    from ray_tracer_tpu.api import render_debug
+
+    cfg = RenderConfig(width=16, height=16)
+    for mode in (0, 1, 2):
+        img = np.asarray(render_debug(cornell, cfg, mode=mode))
+        assert img.shape == (16, 16, 3)
+        assert np.isfinite(img).all()
+        assert img.max() > 0  # some traversal work happened
