@@ -36,6 +36,8 @@ def _build_scene(args):
             builder = presets.cornell_spheres()
         elif preset == "sphere_diffuse":
             builder = presets.sphere_diffuse()
+        elif preset == "sponza_proxy":
+            builder = presets.sponza_proxy()
         else:  # treat as a mesh name inside the assets dir
             builder = presets.mesh_scene(preset)
     return builder
@@ -64,6 +66,9 @@ def main(argv=None) -> int:
     pr.add_argument("--checkpoint", help="progressive state file to save/resume")
     pr.add_argument("--sharded", action="store_true",
                     help="shard pixels over all visible devices")
+    pr.add_argument("--orbit", type=int, default=0, metavar="FRAMES",
+                    help="render FRAMES frames sweeping camera yaw +/-15deg "
+                         "(the reference's interactive camera-move workload)")
 
     pi = sub.add_parser("info", help="print compiled scene statistics")
     _add_common(pi)
@@ -121,6 +126,36 @@ def main(argv=None) -> int:
         return 0
 
     # render
+    if args.orbit > 0:
+        from .scene.types import Camera
+
+        base = None
+        from .api import scene_camera
+
+        base = scene_camera(scene)
+        stem, ext = os.path.splitext(args.output)
+        times = []
+        img = None
+        for i in range(args.orbit):
+            yaw = -15.0 + 30.0 * i / max(args.orbit - 1, 1)
+            cam = Camera(
+                position=base.position,
+                angles_deg=(base.angles_deg[0], base.angles_deg[1] + yaw,
+                            base.angles_deg[2]),
+                fov=base.fov,
+                near_plane=base.near_plane,
+            )
+            t1 = time.perf_counter()
+            img = render_frame(scene_dev, cfg, cam, frame=i)
+            film.write_png(f"{stem}_{i:03d}{ext}", img)
+            times.append(time.perf_counter() - t1)
+        print(json.dumps({
+            "output": f"{stem}_*{ext}",
+            "frames": args.orbit,
+            "mean_frame_s": round(sum(times) / len(times), 4),
+            "first_frame_s": round(times[0], 4),
+        }))
+        return 0
     if args.sharded:
         import jax
 

@@ -270,3 +270,222 @@ def packet_traverse(
         flat(v),
         flat(front) > 0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Wide (BVH8) variant: one visit tests 8 children, amortizing the scalar
+# unit (pop, meta reads, mask transfer, pushes) over 8 tree edges.
+# ---------------------------------------------------------------------------
+
+
+def _packet8_kernel(
+    boxes_ref,  # (W*8, 8) f32: per child slot min3|max3|pad2
+    meta_ref,  # (W*8+1, 4) i32: tri_start|tri_count|axis|pad (leaf)
+    #            or wide_id|0|axis|pad (interior); last row = entry
+    tris_ref,  # (T,16) f32
+    ox_ref, oy_ref, oz_ref,
+    dx_ref, dy_ref, dz_ref,
+    tmax_ref,
+    entry_ref,  # (1,1) i32 SMEM: entry pseudo-slot code
+    dst_ref, prim_ref, u_ref, v_ref, front_ref,
+    stack_ref,  # SMEM (STACK_DEPTH*8,) i32
+    max_leaf: int,
+):
+    ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
+    dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+    inv_x = 1.0 / dx
+    inv_y = 1.0 / dy
+    inv_z = 1.0 / dz
+
+    dst_ref[...] = tmax_ref[...]
+    prim_ref[...] = jnp.full_like(prim_ref[...], -1)
+    u_ref[...] = jnp.zeros_like(u_ref[...])
+    v_ref[...] = jnp.zeros_like(v_ref[...])
+    front_ref[...] = jnp.zeros_like(front_ref[...])
+
+    neg_x = jnp.sum(jnp.where(dx < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dx.size)
+    neg_y = jnp.sum(jnp.where(dy < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dy.size)
+    neg_z = jnp.sum(jnp.where(dz < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dz.size)
+
+    def slab_row(row_i):
+        row = boxes_ref[pl.ds(row_i, 1), :]  # (1,8)
+        t1x = (row[0, 0] - ox) * inv_x
+        t2x = (row[0, 3] - ox) * inv_x
+        t1y = (row[0, 1] - oy) * inv_y
+        t2y = (row[0, 4] - oy) * inv_y
+        t1z = (row[0, 2] - oz) * inv_z
+        t2z = (row[0, 5] - oz) * inv_z
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        hit = (tmax >= tmin) & (tmax > 0)
+        return jnp.where(hit, jnp.maximum(tmin, 0.0), 99999999.0)
+
+    def leaf_tris(first, count):
+        def tri_body(k, _):
+            ti = first + k
+            trow = tris_ref[pl.ds(ti, 1), :]
+            rx = ox - trow[0, 0]
+            ry = oy - trow[0, 1]
+            rz = oz - trow[0, 2]
+            qx = ry * dz - rz * dy
+            qy = rz * dx - rx * dz
+            qz = rx * dy - ry * dx
+            nx, ny, nz = trow[0, 9], trow[0, 10], trow[0, 11]
+            d0 = -(dx * nx + dy * ny + dz * nz)
+            dinv = 1.0 / d0
+            t = (rx * nx + ry * ny + rz * nz) * dinv
+            u = (trow[0, 6] * qx + trow[0, 7] * qy + trow[0, 8] * qz) * dinv
+            v = -(trow[0, 3] * qx + trow[0, 4] * qy + trow[0, 5] * qz) * dinv
+            w = 1.0 - u - v
+            front = d0 >= 1e-8
+            ok = (t >= 0) & (u >= 0) & (v >= 0) & (w >= 0)
+            ok = ok & ~((~front) & (trow[0, 12] > 0.5))
+            closer = ok & (t < dst_ref[...])
+            dst_ref[...] = jnp.where(closer, t, dst_ref[...])
+            prim_ref[...] = jnp.where(closer, ti, prim_ref[...])
+            u_ref[...] = jnp.where(closer, u, u_ref[...])
+            v_ref[...] = jnp.where(closer, v, v_ref[...])
+            front_ref[...] = jnp.where(
+                closer, front.astype(jnp.float32), front_ref[...]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, count, tri_body, 0)
+
+    stack_ref[0] = entry_ref[0, 0]
+
+    def cond(sp):
+        return sp > 0
+
+    def body(sp):
+        sp = sp - 1
+        code = stack_ref[sp]
+        meta = meta_ref[pl.ds(code, 1), :]  # (1,4)
+        idx = meta[0, 0]
+        cnt = meta[0, 1]
+        axis = meta[0, 2]
+
+        def visit_leaf():
+            leaf_tris(idx, cnt)
+            return sp
+
+        def visit_interior():
+            best = dst_ref[...]
+            base = idx * 8
+            # Per-child any-hit -> scalar bitmask with 4 reductions: two
+            # children share one i32 sum, counts packed 15 bits apart (lane
+            # count <= 8192 so fields cannot carry).  (A plain bitwise-or
+            # reduce miscompiles in Mosaic: arith.shrsi i1 operand bug.)
+            mask = jnp.int32(0)
+            for k in range(4):
+                t_a = slab_row(base + 2 * k)
+                t_b = slab_row(base + 2 * k + 1)
+                h_a = jnp.where(t_a < best, jnp.int32(1), 0)
+                h_b = jnp.where(t_b < best, jnp.int32(1 << 15), 0)
+                word = jnp.sum(h_a + h_b)
+                any_a = jnp.where((word & 0x7FFF) > 0, jnp.int32(1), 0)
+                any_b = jnp.where((word >> 15) > 0, jnp.int32(1), 0)
+                mask = mask | (any_a << (2 * k)) | (any_b << (2 * k + 1))
+            neg = jnp.where(
+                axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z)
+            )
+            s = sp
+            # slots are sorted ascending along axis: push far-to-near so the
+            # near child pops first (iteration direction from packet sign)
+            for c in range(8):
+                slot_fwd = 7 - c  # +dir: far = high slot, push it first
+                slot_bwd = c
+                slot = jnp.where(neg, slot_bwd, slot_fwd)
+                bit = (mask >> slot) & 1
+
+                @pl.when(bit == 1)
+                def _(s=s, slot=slot):
+                    stack_ref[s] = base + slot
+
+                s = s + bit
+            return s
+
+        # cnt > 0: leaf; cnt == 0: interior; cnt < 0 (empty slot, should be
+        # unreachable): leaf branch with an empty fori -> no-op
+        return jax.lax.cond(cnt == 0, visit_interior, visit_leaf)
+
+    jax.lax.while_loop(cond, body, jnp.int32(1))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_leaf", "interpret", "packet_size")
+)
+def packet_traverse_wide(
+    boxes: jnp.ndarray,  # (W*8, 8) f32
+    meta: jnp.ndarray,  # (W*8+1, 4) i32
+    tris: jnp.ndarray,  # (T,16) f32
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    tmax0: jnp.ndarray,
+    entry_code,
+    max_leaf: int = 4,
+    interpret: bool = False,
+    packet_size: int = None,
+):
+    """BVH8 packet traversal; same contract as :func:`packet_traverse`."""
+    p_size = packet_size or PACKET
+    sub = 8 * (p_size // 1024)
+    n = origin.shape[0]
+    g = -(-n // p_size)
+    pad = g * p_size - n
+
+    def prep(x):
+        x = jnp.pad(x, ((0, pad),))
+        return x.reshape(g * sub, _LANE)
+
+    ox, oy, oz = (prep(origin[:, i]) for i in range(3))
+    dx, dy, dz = (prep(direction[:, i]) for i in range(3))
+    tmax = jnp.pad(tmax0, ((0, pad),), constant_values=-float(BIG)).reshape(
+        g * sub, _LANE
+    )
+    entry_arr = jnp.full((1, 1), entry_code, jnp.int32)
+
+    row_spec = pl.BlockSpec(
+        (sub, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.int32),
+        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
+    ]
+    kernel = functools.partial(_packet8_kernel, max_leaf=max_leaf)
+    dst, prim, u, v, front = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            full(boxes),
+            full(meta),
+            full(tris),
+            row_spec, row_spec, row_spec,
+            row_spec, row_spec, row_spec,
+            row_spec,
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[row_spec] * 5,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH * 8,), jnp.int32)],
+        interpret=interpret,
+    )(boxes, meta, tris, ox, oy, oz, dx, dy, dz, tmax, entry_arr)
+
+    flat = lambda x: x.reshape(-1)[:n]
+    return (
+        flat(dst),
+        flat(prim),
+        flat(u),
+        flat(v),
+        flat(front) > 0.5,
+    )

@@ -154,26 +154,39 @@ def traverse(
         from ..kernels import packet
 
         tmax0 = jnp.where(active, best.dst, -BIG)
-        meta = jnp.stack(
-            [
-                scene.bvh_index,
-                scene.bvh_tri_count,
-                scene.bvh_axis,
-                jnp.zeros_like(scene.bvh_index),
-            ],
-            axis=1,
-        ).astype(jnp.int32)
-        dst, prim, u, v, front = packet.packet_traverse(
-            scene.bvh_packed,
-            meta,
-            scene.tri_packed,
-            origin,
-            direction,
-            tmax0,
-            scene.obj_bvh_root[0],
-            max_leaf=scene.max_leaf_tris,
-            interpret=(mode == "interpret"),
-        )
+        if os.environ.get("RT_WIDE", "1") != "0":
+            dst, prim, u, v, front = packet.packet_traverse_wide(
+                scene.wide_boxes,
+                scene.wide_meta,
+                scene.tri_packed,
+                origin,
+                direction,
+                tmax0,
+                scene.wide_meta.shape[0] - 1,  # entry pseudo-slot
+                max_leaf=scene.max_leaf_tris,
+                interpret=(mode == "interpret"),
+            )
+        else:
+            meta = jnp.stack(
+                [
+                    scene.bvh_index,
+                    scene.bvh_tri_count,
+                    scene.bvh_axis,
+                    jnp.zeros_like(scene.bvh_index),
+                ],
+                axis=1,
+            ).astype(jnp.int32)
+            dst, prim, u, v, front = packet.packet_traverse(
+                scene.bvh_packed,
+                meta,
+                scene.tri_packed,
+                origin,
+                direction,
+                tmax0,
+                scene.obj_bvh_root[0],
+                max_leaf=scene.max_leaf_tris,
+                interpret=(mode == "interpret"),
+            )
         tri_hit = prim >= 0
         owner = scene.tri_obj[jnp.where(tri_hit, prim, 0)]
         return Hit(

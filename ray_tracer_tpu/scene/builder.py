@@ -338,6 +338,17 @@ class SceneBuilder:
         tri_packed[:, 12] = front_only.astype(f32)
         tri_packed[:, 13] = tri_obj.astype(i32).view(f32)
 
+        # BVH8 for the wide packet kernel (single-tree scenes only)
+        if flattened:
+            from ..accel.wide import collapse
+
+            wide_bvh = collapse(forest, forest.roots[0])
+            wide_boxes = wide_bvh.boxes
+            wide_meta = wide_bvh.meta
+        else:
+            wide_boxes = np.zeros((8, 8), f32)
+            wide_meta = np.zeros((9, 4), i32)
+
         return CompiledScene(
             sphere_pos=sph_pos,
             sphere_radius=sph_rad,
@@ -375,6 +386,8 @@ class SceneBuilder:
             bvh_packed=bvh_packed,
             links_packed=links_packed,
             tri_packed=tri_packed,
+            wide_boxes=wide_boxes,
+            wide_meta=wide_meta,
             light_corner=li_corner,
             light_edge_u=li_u,
             light_edge_v=li_v,

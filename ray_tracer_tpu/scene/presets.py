@@ -179,3 +179,98 @@ def mesh_scene(
     cornell_box(b, assets)
     b.set_camera(Camera())
     return b
+
+
+def sponza_proxy(n_tris_target: int = 260_000, seed: int = 7) -> SceneBuilder:
+    """Sponza-scale procedural stand-in (BASELINE config 5).
+
+    The reference tree ships sponza.mtl + textures but no sponza .obj (load
+    commented out, vk_engine.cpp:729 — SURVEY §6 caveat), so scale testing
+    uses a generated atrium: floor, colonnades of rotated columns, and an
+    emissive ceiling strip, sized to ~n_tris_target triangles after instance
+    flattening.  Geometry is deterministic in ``seed``.
+    """
+    import numpy as np
+
+    from .types import RectLight
+
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    default_materials(b)
+
+    # One icosphere-ish column mesh written to a temp obj once, reused (the
+    # builder caches by path) and instanced many times -> flattening
+    # replicates it to the target count.
+    import tempfile
+
+    def make_column_obj(n_seg=12, n_ring=8):
+        """Lathed column: n_seg*n_ring*2 tris."""
+        verts, faces = [], []
+        prof = [(0.3, 0.0), (0.25, 0.1), (0.2, 0.3), (0.2, 1.7), (0.25, 1.9), (0.3, 2.0)]
+        n_prof = len(prof)
+        for i in range(n_seg):
+            a = 2 * np.pi * i / n_seg
+            for r, y in prof:
+                verts.append((r * np.cos(a), -y, r * np.sin(a)))
+        for i in range(n_seg):
+            for j in range(n_prof - 1):
+                a = i * n_prof + j
+                c = ((i + 1) % n_seg) * n_prof + j
+                faces.append((a + 1, c + 1, a + 2))
+                faces.append((c + 1, c + 2, a + 2))
+        fd, path = tempfile.mkstemp(suffix=".obj", prefix="rt_column_")
+        with os.fdopen(fd, "w") as f:
+            for v in verts:
+                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+            for fa in faces:
+                f.write(f"f {fa[0]} {fa[1]} {fa[2]}\n")
+        return path, len(faces)
+
+    col_path, col_tris = make_column_obj()
+    n_cols = max(4, n_tris_target // col_tris)
+    side = int(np.ceil(np.sqrt(n_cols / 2)))
+    k = 0
+    for gx in range(side):
+        for gz in range(2 * side):
+            if k >= n_cols:
+                break
+            x = -side + 2.0 * gx + rng.uniform(-0.2, 0.2)
+            z = -side + 1.0 * gz + rng.uniform(-0.2, 0.2)
+            b.add_obj(
+                col_path,
+                material=int(rng.integers(0, 3)),
+                position=(x, 0.0, z),
+                rotation_deg=(0.0, float(rng.uniform(0, 360)), 0.0),
+                scale=float(rng.uniform(0.7, 1.1)),
+                name=f"col{k}",
+            )
+            k += 1
+
+    # floor + emissive strip
+    b.add_obj(
+        os.path.join(DEFAULT_ASSETS, "plane.obj"),
+        material=WHITE,
+        position=(0.0, 0.0, 0.0),
+        scale=(side * 1.5, 1.0, side * 1.5),
+        front_only=True,
+        name="floor",
+    )
+    b.add_obj(
+        os.path.join(DEFAULT_ASSETS, "light2.obj"),
+        material=LIGHT,
+        position=(0.0, -4.0, 0.0),
+        scale=(side * 0.8, 1.0, side * 0.8),
+        name="skylight",
+    )
+    s8 = side * 0.8
+    b.add_rect_light(
+        corner=(-s8 / 3.0, -4.0, -s8 / 3.0),
+        edge_u=(2.0 * s8 / 3.0, 0.0, 0.0),
+        edge_v=(0.0, 0.0, 2.0 * s8 / 3.0),
+        normal=(0.0, -1.0, 0.0),
+        material=LIGHT,
+    )
+    b.set_camera(
+        Camera(position=(0.0, -1.0, -side * 1.2), angles_deg=(8.0, 0.0, 0.0))
+    )
+    return b

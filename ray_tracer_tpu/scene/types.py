@@ -177,6 +177,9 @@ class CompiledScene:
     bvh_packed: Any  # (B,8) f32: min3 | max3 | index (bitcast) | count (bitcast)
     links_packed: Any  # (8*B,2) i32: hit | miss, octant-major
     tri_packed: Any  # (T,16) f32: v0|e1|e2|n | front_only | obj (bitcast) | pad2
+    # BVH8 collapse for the wide packet kernel (flattened scenes):
+    wide_boxes: Any  # (W*8,8) f32 child slot boxes
+    wide_meta: Any  # (W*8+1,4) i32 slot meta; last row = traversal entry
 
     # NEE lights.
     light_corner: Any  # (L,3) f32

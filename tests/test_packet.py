@@ -90,3 +90,47 @@ def test_packet_cornell_render_matches(assets_dir):
     finally:
         os.environ["RT_PACKET"] = "0"
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_wide_collapse_covers_tris(rand):
+    """Every binary leaf's triangle range appears exactly once in the BVH8."""
+    from ray_tracer_tpu.accel import bvh, wide
+
+    tris = (
+        rand.uniform(-2, 2, (200, 1, 3)) + rand.uniform(-0.4, 0.4, (200, 3, 3))
+    ).astype(np.float32)
+    forest, _ = bvh.build_forest(tris, [(0, 200)], max_leaf_tris=4)
+    w = wide.collapse(forest, forest.roots[0])
+    covered = []
+    for row in range(w.n_wide * wide.ARITY):
+        start, cnt = int(w.meta[row, 0]), int(w.meta[row, 1])
+        if cnt > 0:
+            covered.extend(range(start, start + cnt))
+    assert sorted(covered) == list(range(200))
+    # interior slots reference valid wide ids
+    for row in range(w.n_wide * wide.ARITY):
+        cnt = int(w.meta[row, 1])
+        if cnt == 0 and w.boxes[row, 0] < 1e29:  # non-empty interior
+            assert 0 <= int(w.meta[row, 0]) < w.n_wide
+
+
+def test_wide_packet_matches_walk(rand):
+    scene = _random_mesh_scene(rand, n_tris=150)
+    n = 700
+    origin = jnp.asarray(rand.uniform(-4, 4, (n, 3)).astype(np.float32))
+    d = rand.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    os.environ["RT_PACKET"] = "0"
+    ref = traverse.traverse(scene, origin, jnp.asarray(d), jnp.ones(n, bool))
+    os.environ["RT_PACKET"] = "interpret"
+    os.environ["RT_WIDE"] = "1"
+    try:
+        got = traverse.traverse(scene, origin, jnp.asarray(d), jnp.ones(n, bool))
+    finally:
+        os.environ["RT_PACKET"] = "0"
+    np.testing.assert_array_equal(np.asarray(ref.did_hit), np.asarray(got.did_hit))
+    m = np.asarray(ref.did_hit)
+    np.testing.assert_allclose(
+        np.asarray(got.dst)[m], np.asarray(ref.dst)[m], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(got.prim)[m], np.asarray(ref.prim)[m])
