@@ -1,0 +1,38 @@
+"""Golden regression: renders frozen at a known-good revision.
+
+The reference's de-facto acceptance artifacts are its renders/ PNGs
+(SURVEY.md §4); these are the equivalent for this framework — small
+deterministic CPU renders checked against committed float16 goldens.
+Guards the integrator's radiometric semantics against drift.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ray_tracer_tpu import RenderConfig, render
+from ray_tracer_tpu.scene import presets
+
+CFG = RenderConfig(width=40, height=40, samples_per_pixel=8, bounce_limit=6)
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.mark.parametrize(
+    "name,builder",
+    [
+        ("cornell", presets.default_scene),
+        ("cornell_spheres", presets.cornell_spheres),
+        ("sphere_diffuse", presets.sphere_diffuse),
+    ],
+)
+def test_golden(name, builder):
+    path = os.path.join(GOLDEN_DIR, f"{name}_40x40_8spp.npy")
+    golden = np.load(path).astype(np.float32)
+    os.environ["RT_PACKET"] = "0"
+    try:
+        img = np.asarray(render(builder().compile().device_put(), CFG))
+    finally:
+        os.environ.pop("RT_PACKET", None)
+    # float16 quantization of the golden + cross-backend FMA noise
+    np.testing.assert_allclose(img, golden, atol=2e-3)
