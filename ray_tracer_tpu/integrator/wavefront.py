@@ -188,6 +188,7 @@ def trace(
     class Carry(NamedTuple):
         origin: jnp.ndarray
         direction: jnp.ndarray
+        hit: traverse.Hit  # closest hit of (origin, direction)
         atten: jnp.ndarray
         total: jnp.ndarray
         direct: jnp.ndarray
@@ -195,19 +196,27 @@ def trace(
         bad: jnp.ndarray
         n_rays: jnp.ndarray
 
+    # Primary traversal once; thereafter each bounce issues ONE combined
+    # 2N-ray traversal (next bounce rays ++ NEE shadow rays) — half the
+    # kernel launches of the naive loop and better packet occupancy.  This
+    # is output-identical: the reference's 0/1-NEE accounting consumes the
+    # NEE result only at the NEXT bounce anyway (raytrace.comp:500-517).
+    hit0 = traverse.traverse(scene, rays.origin, rays.direction, jnp.ones((n,), bool))
+
     init = Carry(
         origin=rays.origin,
         direction=rays.direction,
+        hit=hit0,
         atten=f3(1.0),
         total=f3(0.0),
         direct=f3(0.0),
         alive=jnp.ones((n,), bool),
         bad=jnp.zeros((n,), bool),
-        n_rays=jnp.zeros((), jnp.float32),
+        n_rays=jnp.zeros((), jnp.float32) + n,
     )
 
     def bounce(carry: Carry, j):
-        hit = traverse.traverse(scene, carry.origin, carry.direction, carry.alive)
+        hit = carry.hit
         did = carry.alive & hit.did_hit
 
         hp, normal, uv, mat, sampler = _gather_hit_attrs(
@@ -248,26 +257,12 @@ def trace(
         is_diel = ~is_spec & (ior != -1.0)
         is_diff = ~is_spec & ~is_diel
 
-        # diffuse + NEE
+        # diffuse: NEE direction (traced in the combined launch below)
         nee_origin = hp + normal * 0.01  # raytrace.comp:432
         l_dir, li, n_lights_w = lights.sample_rect_light(
             scene, nee_origin, u6[:, 0], u6[:, 1], u6[:, 2]
         )
-        nee_hit = traverse.traverse(scene, nee_origin, l_dir, alive & is_diff)
-        nee_mat = jnp.where(
-            nee_hit.kind == traverse.KIND_SPHERE,
-            scene.sphere_mat[jnp.where(nee_hit.kind == traverse.KIND_SPHERE, nee_hit.prim, 0)],
-            scene.obj_mat[jnp.where(nee_hit.kind == traverse.KIND_TRI, nee_hit.obj, 0)],
-        )
-        nee_mat = jnp.where(nee_hit.did_hit, nee_mat, 0).astype(jnp.int32)
-        nee_strength = scene.mat_emission_strength[nee_mat]
-        l_emit = scene.mat_emission[nee_mat] * nee_strength[:, None]
-        hit_emissive = nee_hit.did_hit & (nee_strength > 0.0)
-        real_l_pdf = lights.rect_light_pdf(scene, li, l_dir, nee_hit.dst, hit_emissive)
-        real_l_pdf = real_l_pdf / n_lights_w  # uniform light pick
         cos_pdf_at_l = bsdf.cosine_hemisphere_pdf(normal, l_dir)
-        w1 = real_l_pdf**2 / (real_l_pdf**2 + cos_pdf_at_l**2)
-        w1 = jnp.where(jnp.isnan(w1), 0.0, w1)  # raytrace.comp:450
 
         cos_dir = bsdf.cosine_hemisphere_dir(normal, u6[:, 3], u6[:, 4])
         real_cos_pdf = bsdf.cosine_hemisphere_pdf(normal, cos_dir)
@@ -276,15 +271,9 @@ def trace(
             * INV_PI
             * (dot(normal, cos_dir) / jnp.maximum(real_cos_pdf, 1e-20))[:, None]
         )
-        direct_diff = (
-            l_emit
-            * albedo
-            * (
-                INV_PI
-                * jnp.maximum(0.0, dot(normal, l_dir))
-                * jnp.where(real_l_pdf == 0.0, 0.0, w1 / jnp.maximum(real_l_pdf, 1e-20))
-            )[:, None]
-        )
+        # NEE prefactor; multiplied by the light-side terms once the shadow
+        # ray returns (after the combined traversal).
+        nee_k = albedo * (INV_PI * jnp.maximum(0.0, dot(normal, l_dir)))[:, None]
 
         # specular
         dir_spec = intersect.reflect(carry.direction, normal)
@@ -312,11 +301,9 @@ def trace(
             jnp.where(is_diel[:, None], dir_diel, cos_dir),
         )
         radiance = jnp.where(is_diff[:, None], rad_diff, 1.0)
-        new_direct = jnp.where(is_diff[:, None], direct_diff, -1.0)
         origin_sign = jnp.where(is_diel, sign_diel, 1.0)
 
         atten = carry.atten * jnp.where(alive[:, None], radiance, 1.0)
-        direct = jnp.where(alive[:, None], new_direct, carry.direct)
 
         # ---- russian roulette (raytrace.comp:519-524)
         rr = jnp.minimum(jnp.max(atten, axis=-1), cfg.rr_clamp)
@@ -325,16 +312,54 @@ def trace(
         alive = alive & ~killed
         atten = atten / jnp.maximum(rr, 1e-20)[:, None]
 
-        n_rays = (
-            carry.n_rays
-            + jnp.sum(carry.alive.astype(jnp.float32))
-            + jnp.sum((alive & is_diff).astype(jnp.float32))
-        )
+        # The last bounce's traced results are never consumed (the reference
+        # prepares-but-never-traces the next ray, and its final pending NEE
+        # is dropped when the loop ends, raytrace.comp:495-530).
+        alive = alive & (j < cfg.bounce_limit)
+        nee_active = alive & is_diff
 
         new_origin = hp + normal * (origin_sign * 1e-5)[:, None]
+        new_origin = jnp.where(alive[:, None], new_origin, carry.origin)
+        new_dir = jnp.where(alive[:, None], new_dir, carry.direction)
+
+        # ---- ONE combined traversal: next bounce rays ++ NEE shadow rays
+        both = traverse.traverse(
+            scene,
+            jnp.concatenate([new_origin, nee_origin]),
+            jnp.concatenate([new_dir, l_dir]),
+            jnp.concatenate([alive, nee_active]),
+        )
+        hit_next = jax.tree.map(lambda x: x[:n], both)
+        nee_hit = jax.tree.map(lambda x: x[n:], both)
+
+        # ---- NEE resolve (becomes next bounce's pending directLight)
+        nee_mat = jnp.where(
+            nee_hit.kind == traverse.KIND_SPHERE,
+            scene.sphere_mat[jnp.where(nee_hit.kind == traverse.KIND_SPHERE, nee_hit.prim, 0)],
+            scene.obj_mat[jnp.where(nee_hit.kind == traverse.KIND_TRI, nee_hit.obj, 0)],
+        )
+        nee_mat = jnp.where(nee_hit.did_hit, nee_mat, 0).astype(jnp.int32)
+        nee_strength = scene.mat_emission_strength[nee_mat]
+        l_emit = scene.mat_emission[nee_mat] * nee_strength[:, None]
+        hit_emissive = nee_hit.did_hit & (nee_strength > 0.0)
+        real_l_pdf = lights.rect_light_pdf(scene, li, l_dir, nee_hit.dst, hit_emissive)
+        real_l_pdf = real_l_pdf / n_lights_w  # uniform light pick
+        w1 = real_l_pdf**2 / (real_l_pdf**2 + cos_pdf_at_l**2)
+        w1 = jnp.where(jnp.isnan(w1), 0.0, w1)  # raytrace.comp:450
+        direct_diff = l_emit * nee_k * jnp.where(
+            real_l_pdf == 0.0, 0.0, w1 / jnp.maximum(real_l_pdf, 1e-20)
+        )[:, None]
+        new_direct = jnp.where(is_diff[:, None], direct_diff, -1.0)
+        direct = jnp.where((did & ~bad)[:, None], new_direct, carry.direct)
+
+        n_rays = carry.n_rays + jnp.sum(alive.astype(jnp.float32)) + jnp.sum(
+            nee_active.astype(jnp.float32)
+        )
+
         out = Carry(
-            origin=jnp.where(alive[:, None], new_origin, carry.origin),
-            direction=jnp.where(alive[:, None], new_dir, carry.direction),
+            origin=new_origin,
+            direction=new_dir,
+            hit=hit_next,
             atten=atten,
             total=total,
             direct=direct,
