@@ -76,6 +76,10 @@ def main(argv=None) -> int:
     pb = sub.add_parser("bench", help="time a render, print a report")
     _add_common(pb)
 
+    pv = sub.add_parser("view", help="live progressive viewer (HTTP)")
+    _add_common(pv)
+    pv.add_argument("--port", type=int, default=8787)
+
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -105,6 +109,12 @@ def main(argv=None) -> int:
         return 0
 
     scene_dev = scene.device_put()
+
+    if args.cmd == "view":
+        from . import viewer
+
+        viewer.serve(scene_dev, cfg, port=args.port)
+        return 0
 
     if args.cmd == "bench":
         import jax

@@ -34,9 +34,17 @@ class RenderConfig:
     # Pixel-center jitter for anti-aliasing. The reference samples each pixel
     # at its corner every time (raytrace.comp:541) — keep False for parity.
     aa_jitter: bool = False
-    # Rays per traversal batch; render() tiles the image into chunks of this
-    # many pixels x samples to bound live-state memory.
-    max_rays_per_batch: int = 1 << 20
+    # Pixels per traversal batch; render() tiles the image into chunks of
+    # this many pixels x samples to bound live-state memory.  The fused
+    # bounce step launches 2N-ray traversals (bounce ++ NEE), and XLA stages
+    # pallas operands in scoped VMEM — 2*(1<<17) lanes is the safe ceiling
+    # measured on v5e.
+    max_rays_per_batch: int = 1 << 17
+    # Sort bounce/NEE rays (alive-first, then direction octant) before
+    # traversal so dead lanes cluster into packets that exit immediately and
+    # live packets stay direction-coherent.  Per-lane results are identical;
+    # only packet composition changes.
+    sort_bounce_rays: bool = True
 
     def replace(self, **kw) -> "RenderConfig":
         return replace(self, **kw)

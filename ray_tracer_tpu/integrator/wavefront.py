@@ -323,12 +323,27 @@ def trace(
         new_dir = jnp.where(alive[:, None], new_dir, carry.direction)
 
         # ---- ONE combined traversal: next bounce rays ++ NEE shadow rays
-        both = traverse.traverse(
-            scene,
-            jnp.concatenate([new_origin, nee_origin]),
-            jnp.concatenate([new_dir, l_dir]),
-            jnp.concatenate([alive, nee_active]),
-        )
+        o_both = jnp.concatenate([new_origin, nee_origin])
+        d_both = jnp.concatenate([new_dir, l_dir])
+        a_both = jnp.concatenate([alive, nee_active])
+        if cfg.sort_bounce_rays:
+            # alive-first + direction-octant sort: dead lanes cluster into
+            # packets that exit at the root; live packets stay coherent.
+            # Per-lane results are order-independent; unsort afterwards.
+            octant = (
+                (d_both[:, 0] < 0).astype(jnp.int32)
+                + 2 * (d_both[:, 1] < 0).astype(jnp.int32)
+                + 4 * (d_both[:, 2] < 0).astype(jnp.int32)
+            )
+            key = jnp.where(a_both, octant, 8)
+            order = jnp.argsort(key, stable=True)
+            unsort = jnp.argsort(order, stable=True)
+            both = traverse.traverse(
+                scene, o_both[order], d_both[order], a_both[order]
+            )
+            both = jax.tree.map(lambda x: x[unsort], both)
+        else:
+            both = traverse.traverse(scene, o_both, d_both, a_both)
         hit_next = jax.tree.map(lambda x: x[:n], both)
         nee_hit = jax.tree.map(lambda x: x[n:], both)
 
