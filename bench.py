@@ -42,9 +42,11 @@ def main() -> None:
     mesh_name = os.environ.get("RT_BENCH_MESH", "klein_bottle.obj")
 
     cfg = RenderConfig(width=width, height=height, bounce_limit=8)
+    # klein_bottle.obj spans y in [-8.4, 0]: scale 0.15 fits the box with
+    # the base on the floor (y=0.5) and the light quad unoccluded.
     scene = (
-        presets.mesh_scene(mesh_name, material=presets.WHITE, scale=0.4,
-                           position=(0.0, 0.2, 0.0))
+        presets.mesh_scene(mesh_name, material=presets.WHITE, scale=0.15,
+                           position=(0.0, 0.5, 0.0))
         .compile()
         .device_put()
     )

@@ -43,8 +43,9 @@ class RenderConfig:
     # Sort bounce/NEE rays (alive-first, then direction octant) before
     # traversal so dead lanes cluster into packets that exit immediately and
     # live packets stay direction-coherent.  Per-lane results are identical;
-    # only packet composition changes.
-    sort_bounce_rays: bool = True
+    # only packet composition changes.  Off by default: the argsort+permute
+    # costs more than it saves on the current test chip; revisit on real HW.
+    sort_bounce_rays: bool = False
 
     def replace(self, **kw) -> "RenderConfig":
         return replace(self, **kw)
