@@ -99,5 +99,31 @@ def main() -> None:
     )
 
 
+def _run_with_retries() -> None:
+    # The axon TPU tunnel sporadically fails compiles/executions; a fresh
+    # attempt usually succeeds.  On persistent failure emit an honest
+    # zero-value record instead of crashing the driver.
+    last = None
+    for attempt in range(3):
+        try:
+            main()
+            return
+        except Exception as e:  # noqa: BLE001
+            last = e
+            print(f"bench attempt {attempt + 1} failed: {e}", file=sys.stderr)
+            time.sleep(20)
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays/s (bench failed: TPU backend unavailable)",
+                "value": 0.0,
+                "unit": "Mrays/s",
+                "vs_baseline": 0.0,
+                "error": str(last)[:300],
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    _run_with_retries()

@@ -146,7 +146,13 @@ def _sample_texture(scene: CompiledScene, tex_id, uv, sampler):
     def fetch(ix, iy):
         ix = jnp.clip(ix, 0, (w_ - 1).astype(jnp.int32))
         iy = jnp.clip(iy, 0, (h - 1).astype(jnp.int32))
-        return scene.tex_data[tid, iy, ix]
+        srgb = scene.tex_data[tid, iy, ix].astype(jnp.float32) / 255.0
+        # hardware SRGB-view decode equivalent (vk_engine.cpp:1158)
+        return jnp.where(
+            srgb <= 0.04045,
+            srgb / 12.92,
+            ((srgb + 0.055) / 1.055) ** 2.4,
+        )
 
     x0 = jnp.floor(fx).astype(jnp.int32)
     y0 = jnp.floor(fy).astype(jnp.int32)

@@ -23,19 +23,24 @@ def srgb_to_linear(x: np.ndarray) -> np.ndarray:
 
 
 def load_image_rgb(path: str) -> np.ndarray:
-    """Decode to (H,W,3) float32 linear in [0,1]."""
+    """Decode to (H,W,3) uint8 sRGB."""
     from PIL import Image
 
     with Image.open(path) as im:
-        arr = np.asarray(im.convert("RGB"), np.float32) / 255.0
-    return srgb_to_linear(arr)
+        return np.asarray(im.convert("RGB"), np.uint8)
 
 
 def stack_textures(paths: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
-    """Load + zero-pad to a common (K,Hmax,Wmax,3) stack; returns sizes too."""
+    """Load + zero-pad to a common (K,Hmax,Wmax,3) uint8 sRGB stack.
+
+    Stored as uint8 (the reference's VK_FORMAT_R8G8B8A8_SRGB images are 8-bit
+    too); linearization happens per sample in the shader, exactly like the
+    reference's SRGB-view hardware decode.  A float32 stack would cost 4x
+    the HBM and Sponza-class texture sets run to hundreds of MB.
+    """
     if not paths:
         return (
-            np.zeros((1, 1, 1, 3), np.float32),
+            np.zeros((1, 1, 1, 3), np.uint8),
             np.ones((1, 2), np.int32),
         )
     images: List[np.ndarray] = []
@@ -45,10 +50,10 @@ def stack_textures(paths: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         except Exception:
             # Missing texture: magenta 1x1, mirroring the reference's loud
             # failure (vk_textures.cpp:114) without aborting the build.
-            images.append(np.array([[[1.0, 0.0, 1.0]]], np.float32))
+            images.append(np.array([[[255, 0, 255]]], np.uint8))
     hmax = max(im.shape[0] for im in images)
     wmax = max(im.shape[1] for im in images)
-    stack = np.zeros((len(images), hmax, wmax, 3), np.float32)
+    stack = np.zeros((len(images), hmax, wmax, 3), np.uint8)
     sizes = np.zeros((len(images), 2), np.int32)
     for i, im in enumerate(images):
         stack[i, : im.shape[0], : im.shape[1]] = im

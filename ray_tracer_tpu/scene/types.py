@@ -195,8 +195,9 @@ class CompiledScene:
     env_ground: Any  # (3,) f32
     env_light_dir: Any  # (4,) f32: xyz + enabled
 
-    # Textures: padded stack (K,H,W,3) f32 in [0,1] + per-texture (h,w).
-    tex_data: Any  # (K,Hmax,Wmax,3) f32
+    # Textures: padded stack (K,H,W,3) uint8 sRGB + per-texture (h,w);
+    # linearized at sample time (reference SRGB-view decode).
+    tex_data: Any  # (K,Hmax,Wmax,3) u8
     tex_size: Any  # (K,2) i32
 
     # Static metadata (aux field of the pytree).
