@@ -289,7 +289,9 @@ def _packet8_kernel(
     entry_ref,  # (1,1) i32 SMEM: entry pseudo-slot code
     dst_ref, prim_ref, u_ref, v_ref, front_ref,
     stack_ref,  # SMEM (STACK_DEPTH*8,) i32
+    *scratch,  # HBM-tris variant: (tri_buf VMEM (max_leaf,16), dma_sem)
     max_leaf: int,
+    tris_in_hbm: bool = False,
 ):
     ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
@@ -327,9 +329,23 @@ def _packet8_kernel(
         return jnp.where(hit, jnp.maximum(tmin, 0.0), 99999999.0)
 
     def leaf_tris(first, count):
+        if tris_in_hbm:
+            # Triangles live in HBM (scene too big for VMEM): DMA the whole
+            # leaf block (tri_packed is padded by max_leaf rows) then stream
+            # from the VMEM scratch.
+            tri_buf, dma_sem = scratch
+            cp = pltpu.make_async_copy(
+                tris_ref.at[pl.ds(first, max_leaf), :], tri_buf, dma_sem
+            )
+            cp.start()
+            cp.wait()
+
         def tri_body(k, _):
             ti = first + k
-            trow = tris_ref[pl.ds(ti, 1), :]
+            if tris_in_hbm:
+                trow = tri_buf[pl.ds(k, 1), :]
+            else:
+                trow = tris_ref[pl.ds(ti, 1), :]
             rx = ox - trow[0, 0]
             ry = oy - trow[0, 1]
             rz = oz - trow[0, 2]
@@ -419,7 +435,8 @@ def _packet8_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_leaf", "interpret", "packet_size")
+    jax.jit,
+    static_argnames=("max_leaf", "interpret", "packet_size", "tris_in_hbm"),
 )
 def packet_traverse_wide(
     boxes: jnp.ndarray,  # (W*8, 8) f32
@@ -432,8 +449,13 @@ def packet_traverse_wide(
     max_leaf: int = 4,
     interpret: bool = False,
     packet_size: int = None,
+    tris_in_hbm: bool = False,
 ):
-    """BVH8 packet traversal; same contract as :func:`packet_traverse`."""
+    """BVH8 packet traversal; same contract as :func:`packet_traverse`.
+
+    ``tris_in_hbm``: keep the triangle table in HBM and DMA leaf blocks on
+    demand — for scenes whose triangles don't fit VMEM (nodes still must).
+    """
     p_size = packet_size or PACKET
     sub = 8 * (p_size // 1024)
     n = origin.shape[0]
@@ -462,14 +484,26 @@ def packet_traverse_wide(
         jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
     ]
-    kernel = functools.partial(_packet8_kernel, max_leaf=max_leaf)
+    kernel = functools.partial(
+        _packet8_kernel, max_leaf=max_leaf, tris_in_hbm=tris_in_hbm
+    )
+    scratch = [pltpu.SMEM((STACK_DEPTH * 8,), jnp.int32)]
+    if tris_in_hbm:
+        tris = jnp.pad(tris, ((0, max_leaf), (0, 0)))  # leaf-block overrun pad
+        tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch += [
+            pltpu.VMEM((max_leaf, 16), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        tri_spec = full(tris)
     dst, prim, u, v, front = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
             full(boxes),
             full(meta),
-            full(tris),
+            tri_spec,
             row_spec, row_spec, row_spec,
             row_spec, row_spec, row_spec,
             row_spec,
@@ -477,7 +511,7 @@ def packet_traverse_wide(
         ],
         out_specs=[row_spec] * 5,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH * 8,), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(boxes, meta, tris, ox, oy, oz, dx, dy, dz, tmax, entry_arr)
 

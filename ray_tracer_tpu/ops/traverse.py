@@ -40,24 +40,27 @@ _PACKET_VMEM_BUDGET = 9_000_000
 
 
 def _packet_mode(scene: CompiledScene) -> str:
-    """'off' | 'compiled' | 'interpret' — static (trace-time) decision.
+    """'off' | 'vmem' | 'hbm' | 'interpret' — static (trace-time) decision.
 
     RT_PACKET=0 forces the gather walk, =1 forces the Pallas packet kernel,
-    =interpret runs the kernel in interpreter mode (CPU testing); default
-    'auto' uses the kernel on TPU backends when the scene fits VMEM.
+    =interpret runs it in interpreter mode (CPU testing); default 'auto'
+    uses the kernel on TPU backends.  Triangle tables that overflow VMEM use
+    the leaf-block-DMA variant ('hbm'); node tables that overflow fall back
+    to the gather walk.
     """
     mode = os.environ.get("RT_PACKET", "auto")
     if mode == "0" or not scene.meta.get("flattened", False):
         return "off"
-    n_nodes = scene.bvh_packed.shape[0]
-    n_tris = scene.tri_packed.shape[0]
-    if n_nodes * 32 + n_tris * 64 > _PACKET_VMEM_BUDGET:
+    node_bytes = scene.wide_boxes.shape[0] * 32 + scene.wide_meta.shape[0] * 16
+    tri_bytes = scene.tri_packed.shape[0] * 64
+    if node_bytes > _PACKET_VMEM_BUDGET:
         return "off"
+    placement = "vmem" if node_bytes + tri_bytes <= _PACKET_VMEM_BUDGET else "hbm"
     if mode == "interpret":
         return "interpret"
-    if mode == "1":
-        return "compiled"
-    return "compiled" if jax.default_backend() in ("tpu", "axon") else "off"
+    if mode == "1" or jax.default_backend() in ("tpu", "axon"):
+        return placement
+    return "off"
 
 SENTINEL = jnp.int32(2**31 - 1)
 
@@ -165,6 +168,7 @@ def traverse(
                 scene.wide_meta.shape[0] - 1,  # entry pseudo-slot
                 max_leaf=scene.max_leaf_tris,
                 interpret=(mode == "interpret"),
+                tris_in_hbm=(mode == "hbm"),
             )
         else:
             meta = jnp.stack(

@@ -134,3 +134,27 @@ def test_wide_packet_matches_walk(rand):
         np.asarray(got.dst)[m], np.asarray(ref.dst)[m], rtol=1e-5, atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(got.prim)[m], np.asarray(ref.prim)[m])
+
+
+def test_wide_packet_hbm_tris_matches(rand):
+    """Leaf-block-DMA variant (triangles in HBM) == in-VMEM variant."""
+    from ray_tracer_tpu.kernels import packet as pk
+
+    scene = _random_mesh_scene(rand, n_tris=150)
+    n = 300
+    origin = jnp.asarray(rand.uniform(-4, 4, (n, 3)).astype(np.float32))
+    d = rand.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    tmax0 = jnp.full((n,), 99999999.0)
+    entry = scene.wide_meta.shape[0] - 1
+    a = pk.packet_traverse_wide(
+        scene.wide_boxes, scene.wide_meta, scene.tri_packed, origin, d, tmax0,
+        entry, max_leaf=scene.max_leaf_tris, interpret=True, tris_in_hbm=False,
+    )
+    b = pk.packet_traverse_wide(
+        scene.wide_boxes, scene.wide_meta, scene.tri_packed, origin, d, tmax0,
+        entry, max_leaf=scene.max_leaf_tris, interpret=True, tris_in_hbm=True,
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
