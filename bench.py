@@ -41,7 +41,12 @@ def main() -> None:
     spp = int(os.environ.get("RT_BENCH_SPP", 4))
     mesh_name = os.environ.get("RT_BENCH_MESH", "klein_bottle.obj")
 
-    cfg = RenderConfig(width=width, height=height, bounce_limit=8)
+    # Smaller tiles keep XLA's scoped-VMEM staging of the fused 2N-ray
+    # pallas launch under the 16MB limit.
+    cfg = RenderConfig(
+        width=width, height=height, bounce_limit=8,
+        max_rays_per_batch=1 << 16,
+    )
     # klein_bottle.obj spans y in [-8.4, 0]: scale 0.15 fits the box with
     # the base on the floor (y=0.5) and the light quad unoccluded.
     scene = (
@@ -53,7 +58,9 @@ def main() -> None:
     cam = scene_camera(scene)
     rot, pos, fov, aspect, near = _camera_arrays(cam, cfg)
 
-    @functools.partial(jax.jit, static_argnames=("cfg",))
+    from ray_tracer_tpu.utils.jitting import tpu_jit
+
+    @tpu_jit(static_argnames=("cfg",))
     def sample_with_stats(scene, rot, pos, fov, aspect, near, ids, frame,
                           sample, cfg):
         rays = wavefront.raygen(
@@ -68,7 +75,8 @@ def main() -> None:
 
     # Warmup / compile.
     color, nrays = sample_with_stats(
-        scene, rot, pos, fov, aspect, near, ids0, jnp.int32(0), jnp.int32(0), cfg
+        scene, rot, pos, fov, aspect, near, ids0, jnp.int32(0), jnp.int32(0),
+        cfg=cfg,
     )
     jax.block_until_ready(color)
 
@@ -80,7 +88,7 @@ def main() -> None:
             ids = jnp.arange(start, start + count, dtype=jnp.int32)
             color, nrays = sample_with_stats(
                 scene, rot, pos, fov, aspect, near, ids,
-                jnp.int32(0), jnp.int32(s), cfg,
+                jnp.int32(0), jnp.int32(s), cfg=cfg,
             )
             total_rays += float(nrays)
     jax.block_until_ready(color)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from .config import RenderConfig
 from .integrator import film, wavefront
 from .scene.types import Camera, CompiledScene
+from .utils.jitting import tpu_jit
 from .utils.transforms import camera_rotation
 
 
@@ -49,7 +50,7 @@ def scene_camera(scene: CompiledScene) -> Camera:
     return Camera(position=pos, angles_deg=angles, fov=fov, near_plane=near)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
+@tpu_jit(static_argnames=("cfg", "n_samples"))
 def _render_tile(
     scene: CompiledScene,
     rot,
@@ -101,7 +102,8 @@ def render_frame(
         out[start : start + count] = np.asarray(
             _render_tile(
                 scene, rot, pos, fov, aspect, near, ids,
-                jnp.int32(frame), jnp.int32(sample_base), cfg, spp,
+                jnp.int32(frame), jnp.int32(sample_base),
+                cfg=cfg, n_samples=spp,
             )
         )
     return jnp.asarray(out.reshape(cfg.height, cfg.width, 3))
@@ -194,7 +196,7 @@ def render_debug(
     cam = camera or scene_camera(scene)
     rot, pos, fov, aspect, near = _camera_arrays(cam, cfg)
 
-    @functools.partial(jax.jit, static_argnames=("cfg",))
+    @tpu_jit(static_argnames=("cfg",))
     def run(scene, rot, pos, fov, aspect, near, ids, cfg):
         rays = wavefront.raygen(
             rot, pos, fov, aspect, near, ids, cfg.width, cfg.height
@@ -205,7 +207,7 @@ def render_debug(
         return box, tri
 
     ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
-    box, tri = run(scene, rot, pos, fov, aspect, near, ids, cfg)
+    box, tri = run(scene, rot, pos, fov, aspect, near, ids, cfg=cfg)
     box = np.asarray(box).reshape(cfg.height, cfg.width)
     tri = np.asarray(tri).reshape(cfg.height, cfg.width)
     img = np.zeros((cfg.height, cfg.width, 3), np.float32)

@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RenderConfig
 from ..integrator import wavefront
+from ..utils.jitting import tpu_jit
 from ..scene.types import Camera, CompiledScene
 from ..api import _camera_arrays, scene_camera
 
@@ -82,7 +83,7 @@ def make_sharded_render_fn(mesh: Mesh, cfg: RenderConfig, spp_total: int):
         out_specs=P(DATA_AXIS),
         check_vma=False,
     )
-    return jax.jit(fn)
+    return tpu_jit(fn)
 
 
 def render_frame_sharded(
