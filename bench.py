@@ -41,12 +41,7 @@ def main() -> None:
     spp = int(os.environ.get("RT_BENCH_SPP", 4))
     mesh_name = os.environ.get("RT_BENCH_MESH", "klein_bottle.obj")
 
-    # Smaller tiles keep XLA's scoped-VMEM staging of the fused 2N-ray
-    # pallas launch under the 16MB limit.
-    cfg = RenderConfig(
-        width=width, height=height, bounce_limit=8,
-        max_rays_per_batch=1 << 16,
-    )
+    cfg = RenderConfig(width=width, height=height, bounce_limit=8)
     # klein_bottle.obj spans y in [-8.4, 0]: scale 0.15 fits the box with
     # the base on the floor (y=0.5) and the light quad unoccluded.
     scene = (
@@ -60,14 +55,25 @@ def main() -> None:
 
     from ray_tracer_tpu.utils.jitting import tpu_jit
 
-    @tpu_jit(static_argnames=("cfg",))
+    @tpu_jit(static_argnames=("cfg", "n_spp"))
     def sample_with_stats(scene, rot, pos, fov, aspect, near, ids, frame,
-                          sample, cfg):
-        rays = wavefront.raygen(
-            rot, pos, fov, aspect, near, ids, cfg.width, cfg.height
+                          cfg, n_spp):
+        def one(acc, s):
+            rays = wavefront.raygen(
+                rot, pos, fov, aspect, near, ids, cfg.width, cfg.height
+            )
+            c, nr = wavefront.trace(scene, rays, ids, frame, s, cfg,
+                                    with_stats=True)
+            return (acc[0] + c, acc[1] + nr), None
+
+        import jax.numpy as jnp
+
+        (c, nr), _ = jax.lax.scan(
+            one,
+            (jnp.zeros((ids.shape[0], 3), jnp.float32), jnp.zeros((), jnp.float32)),
+            jnp.arange(n_spp, dtype=jnp.int32),
         )
-        return wavefront.trace(scene, rays, ids, frame, sample, cfg,
-                               with_stats=True)
+        return c, nr
 
     n_pix = cfg.n_pixels
     tile = min(n_pix, cfg.max_rays_per_batch)
@@ -75,23 +81,22 @@ def main() -> None:
 
     # Warmup / compile.
     color, nrays = sample_with_stats(
-        scene, rot, pos, fov, aspect, near, ids0, jnp.int32(0), jnp.int32(0),
-        cfg=cfg,
+        scene, rot, pos, fov, aspect, near, ids0, jnp.int32(0),
+        cfg=cfg, n_spp=spp,
     )
-    jax.block_until_ready(color)
+    _ = np.asarray(color)
 
     total_rays = 0.0
     t0 = time.perf_counter()
-    for s in range(spp):
-        for start in range(0, n_pix, tile):
-            count = min(tile, n_pix - start)
-            ids = jnp.arange(start, start + count, dtype=jnp.int32)
-            color, nrays = sample_with_stats(
-                scene, rot, pos, fov, aspect, near, ids,
-                jnp.int32(0), jnp.int32(s), cfg=cfg,
-            )
-            total_rays += float(nrays)
-    jax.block_until_ready(color)
+    for start in range(0, n_pix, tile):
+        count = min(tile, n_pix - start)
+        ids = jnp.arange(start, start + count, dtype=jnp.int32)
+        color, nrays = sample_with_stats(
+            scene, rot, pos, fov, aspect, near, ids, jnp.int32(0),
+            cfg=cfg, n_spp=spp,
+        )
+        total_rays += float(nrays)
+    _ = np.asarray(color)
     dt = time.perf_counter() - t0
 
     mrays = total_rays / dt / 1e6
