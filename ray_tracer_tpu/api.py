@@ -19,8 +19,7 @@ large renders bound their live wavefront memory.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..ops import env as env_ops
 from ..ops import intersect, traverse
-from ..ops.intersect import BIG, dot
+from ..ops.intersect import dot
 from ..sampling import bsdf, lights, rng
 from ..scene.types import CompiledScene
 

@@ -23,9 +23,6 @@ to the gather walk (ops/traverse.py) until the two-level DMA variant lands.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ sampled paths (quirk Q9 discipline).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

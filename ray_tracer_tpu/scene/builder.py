@@ -11,8 +11,8 @@ reference quirk Q5, ``shaders/raytrace.comp:292-293``).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

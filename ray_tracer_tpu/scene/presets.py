@@ -192,8 +192,6 @@ def sponza_proxy(n_tris_target: int = 260_000, seed: int = 7) -> SceneBuilder:
     """
     import numpy as np
 
-    from .types import RectLight
-
     rng = np.random.default_rng(seed)
     b = SceneBuilder()
     default_materials(b)

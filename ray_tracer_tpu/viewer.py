@@ -21,9 +21,7 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-import numpy as np
-
-from .api import ProgressiveRenderer, scene_camera
+from .api import ProgressiveRenderer
 from .config import RenderConfig
 from .integrator import film
 from .scene.types import Camera, CompiledScene
