@@ -173,7 +173,7 @@ class _Builder:
             node, nlo, nhi, depth = stack.pop()
             n = nhi - nlo
             self.stats_max_depth = max(self.stats_max_depth, depth)
-            if n <= SAH_LEAF_TRIS or depth >= MAX_DEPTH:
+            if n <= self.max_leaf or depth >= MAX_DEPTH:
                 self.stats_max_leaf = max(self.stats_max_leaf, n)
                 continue
             cost, axis, split = self._find_split(nlo, nhi)

@@ -199,7 +199,7 @@ struct Builder {
       stack.pop_back();
       int n = it.hi - it.lo;
       stats_max_depth = std::max(stats_max_depth, it.depth);
-      if (n <= SAH_LEAF || it.depth >= MAX_DEPTH) {
+      if (n <= max_leaf || it.depth >= MAX_DEPTH) {
         stats_max_leaf = std::max(stats_max_leaf, n);
         continue;
       }

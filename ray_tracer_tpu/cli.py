@@ -75,6 +75,8 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="time a render, print a report")
     _add_common(pb)
+    pb.add_argument("--profile", metavar="DIR",
+                    help="capture a jax.profiler trace of the timed render")
 
     pv = sub.add_parser("view", help="live progressive viewer (HTTP)")
     _add_common(pv)
@@ -117,12 +119,20 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "bench":
+        import contextlib
+
         import jax
 
         img = render_frame(scene_dev, cfg)  # compile + run
+        prof = (
+            jax.profiler.trace(args.profile)
+            if getattr(args, "profile", None)
+            else contextlib.nullcontext()
+        )
         t0 = time.perf_counter()
-        img = render_frame(scene_dev, cfg)
-        jax.block_until_ready(img)
+        with prof:
+            img = render_frame(scene_dev, cfg)
+            jax.block_until_ready(img)
         dt = time.perf_counter() - t0
         n_primary = cfg.n_pixels * cfg.samples_per_pixel
         print(json.dumps({

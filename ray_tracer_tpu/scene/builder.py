@@ -156,7 +156,7 @@ class SceneBuilder:
 
     # -- compile -------------------------------------------------------------
     def compile(
-        self, max_leaf_tris: int = 4, flatten_instances: bool = True
+        self, max_leaf_tris: int = None, flatten_instances: bool = True
     ) -> CompiledScene:
         """Flatten to device arrays.
 
@@ -172,6 +172,13 @@ class SceneBuilder:
         """
         f32 = np.float32
         i32 = np.int32
+        if max_leaf_tris is None:
+            # Fatter leaves on big scenes shrink the node table (VMEM
+            # residency for the packet kernel) at trivial dense-test cost.
+            n_total = sum(g.positions.shape[0] for g in self._groups) * max(
+                1, len(self.instances) // max(len(self._groups), 1)
+            )
+            max_leaf_tris = 8 if n_total > 120_000 else 4
 
         # ---- triangles
         if self._groups and flatten_instances:

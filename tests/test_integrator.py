@@ -191,3 +191,16 @@ def test_textured_render(tmp_path, assets_dir):
     ratio = img[mask] / np.maximum(flat[mask], 1e-6)
     assert ratio.min() < 0.9  # texture darkens somewhere
     assert ratio.std() > 0.05  # and varies spatially
+
+
+def test_forest_mode_render_matches_flattened(cornell):
+    """flatten_instances=False (reference per-object BVH forest semantics)
+    must render the same image as the flattened default."""
+    import os
+
+    forest_scene = presets.default_scene(
+        os.environ.get("RT_ASSETS", "/root/reference/assets")
+    ).compile(flatten_instances=False).device_put()
+    a = np.asarray(render(cornell, CFG))
+    b = np.asarray(render(forest_scene, CFG))
+    np.testing.assert_allclose(a, b, atol=2e-4)
