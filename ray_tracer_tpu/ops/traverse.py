@@ -34,9 +34,10 @@ from ..scene.types import CompiledScene
 from . import intersect
 from .intersect import BIG
 
-# Packet-kernel VMEM budget: nodes (32B) + tris (64B) must fit alongside
-# ray/output blocks in ~16MB VMEM.
-_PACKET_VMEM_BUDGET = 9_000_000
+# Packet-kernel VMEM budget for resident tables (wide boxes+meta, and tris
+# when they fit).  v5e VMEM is 128MB; the raised scoped-vmem staging limit
+# (utils/jitting.py) leaves this much room comfortably.
+_PACKET_VMEM_BUDGET = 20_000_000
 
 
 def _packet_mode(scene: CompiledScene) -> str:

@@ -175,8 +175,9 @@ class SceneBuilder:
         if max_leaf_tris is None:
             # Fatter leaves on big scenes shrink the node table (VMEM
             # residency for the packet kernel) at trivial dense-test cost.
-            n_total = sum(g.positions.shape[0] for g in self._groups) * max(
-                1, len(self.instances) // max(len(self._groups), 1)
+            n_total = sum(
+                self._groups[gid].positions.shape[0]
+                for gid, _ in self.instances
             )
             max_leaf_tris = 8 if n_total > 120_000 else 4
 
