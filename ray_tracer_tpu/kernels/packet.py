@@ -325,51 +325,56 @@ def _packet8_kernel(
         hit = (tmax >= tmin) & (tmax > 0)
         return jnp.where(hit, jnp.maximum(tmin, 0.0), 99999999.0)
 
-    def leaf_tris(first, count):
-        if tris_in_hbm:
-            # Triangles live in HBM (scene too big for VMEM): DMA the whole
-            # leaf block (tri_packed is padded by max_leaf rows) then stream
-            # from the VMEM scratch.
+    def _tri_test(trow, ti):
+        """Dense Moller-Trumbore of one packed 16-float record vs all lanes.
+
+        NaN records (leaf-row padding) fail every comparison -> no hit."""
+        rx = ox - trow[0, 0]
+        ry = oy - trow[0, 1]
+        rz = oz - trow[0, 2]
+        qx = ry * dz - rz * dy
+        qy = rz * dx - rx * dz
+        qz = rx * dy - ry * dx
+        nx, ny, nz = trow[0, 9], trow[0, 10], trow[0, 11]
+        d0 = -(dx * nx + dy * ny + dz * nz)
+        dinv = 1.0 / d0
+        t = (rx * nx + ry * ny + rz * nz) * dinv
+        u = (trow[0, 6] * qx + trow[0, 7] * qy + trow[0, 8] * qz) * dinv
+        v = -(trow[0, 3] * qx + trow[0, 4] * qy + trow[0, 5] * qz) * dinv
+        w = 1.0 - u - v
+        front = d0 >= 1e-8
+        ok = (t >= 0) & (u >= 0) & (v >= 0) & (w >= 0)
+        ok = ok & ~((~front) & (trow[0, 12] > 0.5))
+        closer = ok & (t < dst_ref[...])
+        dst_ref[...] = jnp.where(closer, t, dst_ref[...])
+        prim_ref[...] = jnp.where(closer, ti, prim_ref[...])
+        u_ref[...] = jnp.where(closer, u, u_ref[...])
+        v_ref[...] = jnp.where(closer, v, v_ref[...])
+        front_ref[...] = jnp.where(
+            closer, front.astype(jnp.float32), front_ref[...]
+        )
+
+    if tris_in_hbm:
+        def leaf_tris(idx, cnt, slot):
+            # DMA the leaf's single aligned (1,128) row = 8 padded tri
+            # records, then statically unroll over them.
             tri_buf, dma_sem = scratch
             cp = pltpu.make_async_copy(
-                tris_ref.at[pl.ds(first, max_leaf), :], tri_buf, dma_sem
+                tris_ref.at[pl.ds(slot, 1), :], tri_buf, dma_sem
             )
             cp.start()
             cp.wait()
+            block = tri_buf[...]  # (1,128)
+            for k in range(8):
+                trow = block[:, 16 * k : 16 * (k + 1)]
+                _tri_test(trow, slot * 8 + k)  # padded id; mapped outside
+    else:
+        def leaf_tris(idx, cnt, slot):
+            def tri_body(k, _):
+                _tri_test(tris_ref[pl.ds(idx + k, 1), :], idx + k)
+                return 0
 
-        def tri_body(k, _):
-            ti = first + k
-            if tris_in_hbm:
-                trow = tri_buf[pl.ds(k, 1), :]
-            else:
-                trow = tris_ref[pl.ds(ti, 1), :]
-            rx = ox - trow[0, 0]
-            ry = oy - trow[0, 1]
-            rz = oz - trow[0, 2]
-            qx = ry * dz - rz * dy
-            qy = rz * dx - rx * dz
-            qz = rx * dy - ry * dx
-            nx, ny, nz = trow[0, 9], trow[0, 10], trow[0, 11]
-            d0 = -(dx * nx + dy * ny + dz * nz)
-            dinv = 1.0 / d0
-            t = (rx * nx + ry * ny + rz * nz) * dinv
-            u = (trow[0, 6] * qx + trow[0, 7] * qy + trow[0, 8] * qz) * dinv
-            v = -(trow[0, 3] * qx + trow[0, 4] * qy + trow[0, 5] * qz) * dinv
-            w = 1.0 - u - v
-            front = d0 >= 1e-8
-            ok = (t >= 0) & (u >= 0) & (v >= 0) & (w >= 0)
-            ok = ok & ~((~front) & (trow[0, 12] > 0.5))
-            closer = ok & (t < dst_ref[...])
-            dst_ref[...] = jnp.where(closer, t, dst_ref[...])
-            prim_ref[...] = jnp.where(closer, ti, prim_ref[...])
-            u_ref[...] = jnp.where(closer, u, u_ref[...])
-            v_ref[...] = jnp.where(closer, v, v_ref[...])
-            front_ref[...] = jnp.where(
-                closer, front.astype(jnp.float32), front_ref[...]
-            )
-            return 0
-
-        jax.lax.fori_loop(0, count, tri_body, 0)
+            jax.lax.fori_loop(0, cnt, tri_body, 0)
 
     stack_ref[0] = entry_ref[0, 0]
 
@@ -383,9 +388,10 @@ def _packet8_kernel(
         idx = meta[0, 0]
         cnt = meta[0, 1]
         axis = meta[0, 2]
+        slot = meta[0, 3]
 
         def visit_leaf():
-            leaf_tris(idx, cnt)
+            leaf_tris(idx, cnt, slot)
             return sp
 
         def visit_interior():
@@ -486,10 +492,10 @@ def packet_traverse_wide(
     )
     scratch = [pltpu.SMEM((STACK_DEPTH * 8,), jnp.int32)]
     if tris_in_hbm:
-        tris = jnp.pad(tris, ((0, max_leaf), (0, 0)))  # leaf-block overrun pad
+        # tris here is the (L,128) leaf-row table; DMA one row per leaf
         tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         scratch += [
-            pltpu.VMEM((max_leaf, 16), jnp.float32),
+            pltpu.VMEM((1, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ]
     else:

@@ -159,18 +159,24 @@ def traverse(
 
         tmax0 = jnp.where(active, best.dst, -BIG)
         if os.environ.get("RT_WIDE", "1") != "0":
+            hbm = mode == "hbm"
             dst, prim, u, v, front = packet.packet_traverse_wide(
                 scene.wide_boxes,
                 scene.wide_meta,
-                scene.tri_packed,
+                scene.leaf_rows if hbm else scene.tri_packed,
                 origin,
                 direction,
                 tmax0,
                 scene.wide_meta.shape[0] - 1,  # entry pseudo-slot
                 max_leaf=scene.max_leaf_tris,
                 interpret=(mode == "interpret"),
-                tris_in_hbm=(mode == "hbm"),
+                tris_in_hbm=hbm,
             )
+            if hbm:
+                # kernel reports padded leaf-slot ids; map to global tri ids
+                prim = jnp.where(
+                    prim >= 0, scene.leaf_map[jnp.maximum(prim, 0)], prim
+                )
         else:
             meta = jnp.stack(
                 [

@@ -353,9 +353,38 @@ class SceneBuilder:
             wide_bvh = collapse(forest, forest.roots[0])
             wide_boxes = wide_bvh.boxes
             wide_meta = wide_bvh.meta
+            # Leaf-slot layout: one 128-float (8-tri) row per leaf so the
+            # HBM-DMA kernel copies aligned full rows.  Padding slots carry
+            # NaN v0 (every intersection test fails on NaN).
+            leaf_rows_list = []
+            leaf_map_list = []
+            for row in range(wide_meta.shape[0] - 1):
+                cnt = int(wide_meta[row, 1])
+                if cnt > 0:
+                    start = int(wide_meta[row, 0])
+                    slot = len(leaf_rows_list)
+                    block = np.full((8, 16), np.nan, f32)
+                    block[:cnt] = tri_packed[start : start + cnt]
+                    leaf_rows_list.append(block.reshape(128))
+                    ids = np.zeros(8, i32)
+                    ids[:cnt] = np.arange(start, start + cnt, dtype=i32)
+                    leaf_map_list.append(ids)
+                    wide_meta[row, 3] = slot
+            leaf_rows = (
+                np.stack(leaf_rows_list)
+                if leaf_rows_list
+                else np.full((1, 128), np.nan, f32)
+            )
+            leaf_map = (
+                np.concatenate(leaf_map_list)
+                if leaf_map_list
+                else np.zeros(8, i32)
+            )
         else:
             wide_boxes = np.zeros((8, 8), f32)
             wide_meta = np.zeros((9, 4), i32)
+            leaf_rows = np.full((1, 128), np.nan, f32)
+            leaf_map = np.zeros(8, i32)
 
         return CompiledScene(
             sphere_pos=sph_pos,
@@ -396,6 +425,8 @@ class SceneBuilder:
             tri_packed=tri_packed,
             wide_boxes=wide_boxes,
             wide_meta=wide_meta,
+            leaf_rows=leaf_rows,
+            leaf_map=leaf_map,
             light_corner=li_corner,
             light_edge_u=li_u,
             light_edge_v=li_v,

@@ -180,6 +180,10 @@ class CompiledScene:
     # BVH8 collapse for the wide packet kernel (flattened scenes):
     wide_boxes: Any  # (W*8,8) f32 child slot boxes
     wide_meta: Any  # (W*8+1,4) i32 slot meta; last row = traversal entry
+    # Leaf-slot triangle layout for the HBM-DMA variant: each leaf owns one
+    # 128-float row (8 padded tri records); NaN v0 marks padding.
+    leaf_rows: Any  # (L,128) f32
+    leaf_map: Any  # (L*8,) i32: padded slot -> global triangle id
 
     # NEE lights.
     light_corner: Any  # (L,3) f32

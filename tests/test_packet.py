@@ -137,7 +137,7 @@ def test_wide_packet_matches_walk(rand):
 
 
 def test_wide_packet_hbm_tris_matches(rand):
-    """Leaf-block-DMA variant (triangles in HBM) == in-VMEM variant."""
+    """Leaf-row-DMA variant (triangles in HBM) == in-VMEM variant."""
     from ray_tracer_tpu.kernels import packet as pk
 
     scene = _random_mesh_scene(rand, n_tris=150)
@@ -153,8 +153,16 @@ def test_wide_packet_hbm_tris_matches(rand):
         entry, max_leaf=scene.max_leaf_tris, interpret=True, tris_in_hbm=False,
     )
     b = pk.packet_traverse_wide(
-        scene.wide_boxes, scene.wide_meta, scene.tri_packed, origin, d, tmax0,
+        scene.wide_boxes, scene.wide_meta, scene.leaf_rows, origin, d, tmax0,
         entry, max_leaf=scene.max_leaf_tris, interpret=True, tris_in_hbm=True,
     )
-    for x, y in zip(a, b):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    b_prim = np.asarray(b[1])
+    b_prim = np.where(
+        b_prim >= 0,
+        np.asarray(scene.leaf_map)[np.maximum(b_prim, 0)],
+        b_prim,
+    )
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a[1]) >= 0, b_prim >= 0)
+    m = np.asarray(a[1]) >= 0
+    np.testing.assert_array_equal(np.asarray(a[1])[m], b_prim[m])
