@@ -493,7 +493,7 @@ def packet_traverse_wide(
     scratch = [pltpu.SMEM((STACK_DEPTH * 8,), jnp.int32)]
     if tris_in_hbm:
         # tris here is the (L,128) leaf-row table; DMA one row per leaf
-        tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        tri_spec = pl.BlockSpec(memory_space=pltpu.HBM)
         scratch += [
             pltpu.VMEM((1, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,

@@ -269,6 +269,6 @@ def sponza_proxy(n_tris_target: int = 260_000, seed: int = 7) -> SceneBuilder:
         material=LIGHT,
     )
     b.set_camera(
-        Camera(position=(0.0, -1.0, -side * 1.2), angles_deg=(8.0, 0.0, 0.0))
+        Camera(position=(0.0, -2.2, -side * 1.2), angles_deg=(14.0, 0.0, 0.0))
     )
     return b

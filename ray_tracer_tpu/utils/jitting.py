@@ -21,7 +21,7 @@ import jax
 
 TPU_COMPILER_OPTIONS = {
     "xla_tpu_scoped_vmem_limit_kib": os.environ.get(
-        "RT_SCOPED_VMEM_KIB", "98304"
+        "RT_SCOPED_VMEM_KIB", "122880"
     ),
 }
 
