@@ -38,18 +38,28 @@ def main() -> None:
 
     width = int(os.environ.get("RT_BENCH_WIDTH", 1920))
     height = int(os.environ.get("RT_BENCH_HEIGHT", 1080))
-    spp = int(os.environ.get("RT_BENCH_SPP", 4))
-    mesh_name = os.environ.get("RT_BENCH_MESH", "klein_bottle.obj")
+    spp = int(os.environ.get("RT_BENCH_SPP", 2))
+    scene_name = os.environ.get("RT_BENCH_SCENE", "sponza_proxy")
 
-    cfg = RenderConfig(width=width, height=height, bounce_limit=8)
-    # klein_bottle.obj spans y in [-8.4, 0]: scale 0.15 fits the box with
-    # the base on the floor (y=0.5) and the light quad unoccluded.
-    scene = (
-        presets.mesh_scene(mesh_name, material=presets.WHITE, scale=0.15,
-                           position=(0.0, 0.5, 0.0))
-        .compile()
-        .device_put()
+    # Smaller tiles bound XLA's scoped-VMEM staging of the big-scene pallas
+    # launches (see utils/jitting.py).
+    cfg = RenderConfig(
+        width=width, height=height, bounce_limit=8,
+        max_rays_per_batch=1 << 16,
     )
+    if scene_name == "sponza_proxy":
+        # BASELINE config 5 workload: Sponza-scale (~260k tris); the real
+        # sponza .obj is absent from the reference tree (SURVEY §6).
+        scene = presets.sponza_proxy(260_000).compile().device_put()
+    else:
+        # klein_bottle.obj spans y in [-8.4, 0]: scale 0.15 fits the box
+        # with the base on the floor and the light quad unoccluded.
+        scene = (
+            presets.mesh_scene(scene_name, material=presets.WHITE, scale=0.15,
+                               position=(0.0, 0.5, 0.0))
+            .compile()
+            .device_put()
+        )
     cam = scene_camera(scene)
     rot, pos, fov, aspect, near = _camera_arrays(cam, cfg)
 
@@ -103,7 +113,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"Mrays/s {mesh_name} in cornell @{width}x{height} spp{spp} b8",
+                "metric": f"Mrays/s {scene_name} @{width}x{height} spp{spp} b8",
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 200.0, 4),
