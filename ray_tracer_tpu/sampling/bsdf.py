@@ -32,7 +32,7 @@ def cosine_hemisphere_dir(normal, r1, r2):
         jnp.array([0.0, 0.0, 1.0]),
     )
     t = jnp.cross(normal, non_parallel)
-    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-20)
     b = jnp.cross(normal, t)
     return t * x[:, None] + b * y[:, None] + normal * z[:, None]
 
