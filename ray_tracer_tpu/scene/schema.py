@@ -101,3 +101,53 @@ def load_scene(path: str) -> SceneBuilder:
     with open(path) as f:
         doc = json.load(f)
     return builder_from_dict(doc, base_dir=os.path.dirname(os.path.abspath(path)))
+
+
+def builder_to_dict(b: SceneBuilder) -> Dict[str, Any]:
+    """Serialize a SceneBuilder back to the JSON document form.
+
+    Mesh instances reference their original OBJ paths (kept on the builder's
+    instance descriptors); geometry itself is not embedded.
+    """
+    doc: Dict[str, Any] = {"materials": [], "spheres": [], "objects": [],
+                           "lights": []}
+    for m in b.materials:
+        doc["materials"].append(
+            {
+                "name": m.name,
+                "albedo": list(m.albedo),
+                "emission_color": list(m.emission_color),
+                "emission_strength": m.emission_strength,
+                "reflectance": m.reflectance,
+                "ior": m.ior,
+            }
+        )
+    for s in b.spheres:
+        doc["spheres"].append(
+            {"position": list(s.position), "radius": s.radius,
+             "material": s.material}
+        )
+    for l in b.lights:
+        doc["lights"].append(
+            {"corner": list(l.corner), "edge_u": list(l.edge_u),
+             "edge_v": list(l.edge_v), "normal": list(l.normal),
+             "material": l.material}
+        )
+    e = b.environment
+    doc["environment"] = {
+        "horizon_color": list(e.horizon_color), "sun_focus": e.sun_focus,
+        "zenith_color": list(e.zenith_color), "sun_intensity": e.sun_intensity,
+        "ground_color": list(e.ground_color), "light_dir": list(e.light_dir),
+        "enabled": e.enabled,
+    }
+    c = b.camera
+    doc["camera"] = {
+        "position": list(c.position), "angles_deg": list(c.angles_deg),
+        "fov": c.fov, "near_plane": c.near_plane,
+    }
+    return doc
+
+
+def save_scene(b: SceneBuilder, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(builder_to_dict(b), f, indent=2)

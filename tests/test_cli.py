@@ -84,3 +84,85 @@ def test_cli_render_png(tmp_path):
     report = json.loads(out.stdout)
     assert report["output"] == out_png
     assert os.path.getsize(out_png) > 100
+
+
+def test_schema_save_roundtrip(tmp_path):
+    from ray_tracer_tpu.scene import presets
+
+    b = presets.cornell_spheres()
+    p = str(tmp_path / "saved.json")
+    schema.save_scene(b, p)
+    doc = json.loads(open(p).read())
+    assert len(doc["materials"]) == 6
+    assert len(doc["spheres"]) == 2
+    assert doc["camera"]["fov"] == 50.0
+    # materials/spheres/lights/env/camera survive a load (objects reference
+    # asset paths and are not embedded)
+    b2 = schema.builder_from_dict(doc)
+    s2 = b2.compile()
+    assert s2.n_spheres == 2
+    assert s2.n_lights == 1
+
+
+def test_viewer_http_endpoints(tmp_path):
+    """Live viewer serves page, stats, image; camera set resets frames."""
+    import threading
+    import time
+    import urllib.request
+
+    import jax
+
+    from ray_tracer_tpu import RenderConfig
+    from ray_tracer_tpu.scene import presets
+    from ray_tracer_tpu import viewer
+    from http.server import ThreadingHTTPServer
+
+    scene = presets.sphere_diffuse().compile().device_put()
+    cfg = RenderConfig(width=16, height=16, samples_per_pixel=1, bounce_limit=1)
+    state = viewer.ViewerState(scene, cfg)
+
+    # build the same handler the serve() function uses, on an ephemeral port
+    import io
+    from urllib.parse import urlparse, parse_qs
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code, ctype, body):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/":
+                self._send(200, "text/html", viewer._PAGE.encode())
+            elif url.path == "/image.png":
+                self._send(200, "image/png", state.png_bytes())
+            elif url.path == "/stats":
+                self._send(200, "application/json",
+                           json.dumps(state.stats()).encode())
+            elif url.path == "/set":
+                state.set_camera(parse_qs(url.query))
+                self._send(200, "application/json", b"{}")
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        html = urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=10).read()
+        assert b"ray_tracer_tpu" in html
+        png = urllib.request.urlopen(f"http://127.0.0.1:{port}/image.png", timeout=10).read()
+        assert png[:4] == b"\x89PNG"
+        stats = json.loads(urllib.request.urlopen(f"http://127.0.0.1:{port}/stats", timeout=10).read())
+        assert "camera" in stats
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/set?py=-2.0", timeout=10).read()
+        assert state.renderer.camera.position[1] == -2.0
+        assert state.renderer.frame == 0  # reset
+    finally:
+        srv.shutdown()
