@@ -14,7 +14,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-MAGENTA = jnp.array([1.0, 0.0, 1.0], jnp.float32)
+MAGENTA = np.array([1.0, 0.0, 1.0], np.float32)  # np: no backend init at import
 
 
 def progressive_blend(accum, frame_color, frame_index):

@@ -9,10 +9,14 @@ leading ray-batch axis and jit/vmap-friendly (no data-dependent shapes).
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
-BIG = jnp.float32(99999999.0)  # miss sentinel, raytrace.comp:272,279
-EPS_FRONT = jnp.float32(1e-8)  # front-face determinant cutoff, :244
+# numpy scalars (jnp constants at module level would initialize the backend
+# at import, breaking later jax_platforms overrides)
+BIG = np.float32(99999999.0)  # miss sentinel, raytrace.comp:272,279
+EPS_FRONT = np.float32(1e-8)  # front-face determinant cutoff, :244
 
 
 def dot(a, b):

@@ -27,6 +27,8 @@ from __future__ import annotations
 import os
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -63,7 +65,9 @@ def _packet_mode(scene: CompiledScene) -> str:
         return placement
     return "off"
 
-SENTINEL = jnp.int32(2**31 - 1)
+# numpy scalar: module-level jnp constants would initialize the default
+# backend at import time, breaking later jax_platforms overrides (--cpu)
+SENTINEL = np.int32(2**31 - 1)
 
 KIND_NONE = 0
 KIND_SPHERE = 1

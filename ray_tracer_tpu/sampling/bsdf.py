@@ -14,7 +14,9 @@ import jax.numpy as jnp
 
 from ..ops.intersect import dot
 
-INV_PI = jnp.float32(0.3183098862)  # raytrace.comp:7
+import numpy as np
+
+INV_PI = np.float32(0.3183098862)  # raytrace.comp:7 (np: no backend init)
 
 
 def cosine_hemisphere_dir(normal, r1, r2):

@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_INV_U32 = jnp.float32(1.0 / 4294967296.0)
+import numpy as np
+
+_INV_U32 = np.float32(1.0 / 4294967296.0)  # np: no backend init at import
 
 
 def _pcg4d(a, b, c, d):
