@@ -65,48 +65,55 @@ def main() -> None:
 
     from ray_tracer_tpu.utils.jitting import tpu_jit
 
-    @tpu_jit(static_argnames=("cfg", "n_spp"))
-    def sample_with_stats(scene, rot, pos, fov, aspect, near, ids, frame,
-                          cfg, n_spp):
-        def one(acc, s):
-            rays = wavefront.raygen(
-                rot, pos, fov, aspect, near, ids, cfg.width, cfg.height
-            )
-            c, nr = wavefront.trace(scene, rays, ids, frame, s, cfg,
-                                    with_stats=True)
-            return (acc[0] + c, acc[1] + nr), None
-
-        import jax.numpy as jnp
-
-        (c, nr), _ = jax.lax.scan(
-            one,
-            (jnp.zeros((ids.shape[0], 3), jnp.float32), jnp.zeros((), jnp.float32)),
-            jnp.arange(n_spp, dtype=jnp.int32),
-        )
-        return c, nr
-
     n_pix = cfg.n_pixels
     tile = min(n_pix, cfg.max_rays_per_batch)
-    ids0 = jnp.arange(tile, dtype=jnp.int32)
+    n_tiles = -(-n_pix // tile)
+
+    @tpu_jit(static_argnames=("cfg", "n_spp", "n_tiles"))
+    def frame_with_stats(scene, rot, pos, fov, aspect, near, frame,
+                         cfg, n_spp, n_tiles):
+        """Whole frame, ONE dispatch: scan tiles x spp, count traversals."""
+
+        def one_tile(acc, t):
+            ids = jnp.minimum(
+                t * tile + jnp.arange(tile, dtype=jnp.int32),
+                jnp.int32(n_pix - 1),
+            )
+
+            def one_spp(acc, s):
+                rays = wavefront.raygen(
+                    rot, pos, fov, aspect, near, ids, cfg.width, cfg.height
+                )
+                c, nr = wavefront.trace(scene, rays, ids, frame, s, cfg,
+                                        with_stats=True)
+                return (acc[0] + jnp.sum(c), acc[1] + nr), None
+
+            acc, _ = jax.lax.scan(
+                one_spp, acc, jnp.arange(n_spp, dtype=jnp.int32)
+            )
+            return acc, None
+
+        (checksum, nr), _ = jax.lax.scan(
+            one_tile,
+            (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+            jnp.arange(n_tiles, dtype=jnp.int32),
+        )
+        return checksum, nr
 
     # Warmup / compile.
-    color, nrays = sample_with_stats(
-        scene, rot, pos, fov, aspect, near, ids0, jnp.int32(0),
-        cfg=cfg, n_spp=spp,
+    checksum, nrays = frame_with_stats(
+        scene, rot, pos, fov, aspect, near, jnp.int32(0),
+        cfg=cfg, n_spp=spp, n_tiles=n_tiles,
     )
-    _ = np.asarray(color)
+    _ = np.asarray(checksum)
 
-    total_rays = 0.0
     t0 = time.perf_counter()
-    for start in range(0, n_pix, tile):
-        count = min(tile, n_pix - start)
-        ids = jnp.arange(start, start + count, dtype=jnp.int32)
-        color, nrays = sample_with_stats(
-            scene, rot, pos, fov, aspect, near, ids, jnp.int32(0),
-            cfg=cfg, n_spp=spp,
-        )
-        total_rays += float(nrays)
-    _ = np.asarray(color)
+    checksum, nrays = frame_with_stats(
+        scene, rot, pos, fov, aspect, near, jnp.int32(1),
+        cfg=cfg, n_spp=spp, n_tiles=n_tiles,
+    )
+    total_rays = float(nrays)
+    _ = np.asarray(checksum)
     dt = time.perf_counter() - t0
 
     mrays = total_rays / dt / 1e6

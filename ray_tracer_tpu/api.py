@@ -49,8 +49,7 @@ def scene_camera(scene: CompiledScene) -> Camera:
     return Camera(position=pos, angles_deg=angles, fov=fov, near_plane=near)
 
 
-@tpu_jit(static_argnames=("cfg", "n_samples"))
-def _render_tile(
+def _tile_mean(
     scene: CompiledScene,
     rot,
     pos,
@@ -80,6 +79,50 @@ def _render_tile(
     return acc / n_samples
 
 
+_render_tile = tpu_jit(static_argnames=("cfg", "n_samples"))(_tile_mean)
+
+
+@tpu_jit(static_argnames=("cfg", "n_samples", "tile", "n_tiles"))
+def _render_tiles_scan(
+    scene: CompiledScene,
+    rot,
+    pos,
+    fov,
+    aspect,
+    near,
+    frame,
+    sample_base,
+    cfg: RenderConfig,
+    n_samples: int,
+    tile: int,
+    n_tiles: int,
+):
+    """Whole frame in ONE dispatch: lax.scan over pixel tiles.
+
+    The reference issues one compute dispatch per frame
+    (``vkCmdDispatch``, vk_engine.cpp:1665); the Python-loop tiling path
+    issues one *per tile*, which costs a host round-trip each.  Scanning
+    the tile loop inside jit keeps the live wavefront bounded at one
+    tile while paying a single dispatch per frame.  The padded tail tile
+    re-renders pixel ``n_pixels-1``; callers slice the flat result.
+    """
+
+    def one_tile(_, t):
+        ids = jnp.minimum(
+            t * tile + jnp.arange(tile, dtype=jnp.int32),
+            jnp.int32(cfg.n_pixels - 1),
+        )
+        return None, _tile_mean(
+            scene, rot, pos, fov, aspect, near, ids, frame, sample_base,
+            cfg, n_samples,
+        )
+
+    _, out = jax.lax.scan(
+        one_tile, None, jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+    return out.reshape(n_tiles * tile, 3)
+
+
 def render_frame(
     scene: CompiledScene,
     cfg: RenderConfig,
@@ -94,18 +137,21 @@ def render_frame(
     spp = cfg.samples_per_pixel if n_samples is None else n_samples
     n_pix = cfg.n_pixels
     tile = max(1, min(n_pix, cfg.max_rays_per_batch))
-    out = np.zeros((n_pix, 3), np.float32)
-    for start in range(0, n_pix, tile):
-        count = min(tile, n_pix - start)
-        ids = jnp.arange(start, start + count, dtype=jnp.int32)
-        out[start : start + count] = np.asarray(
-            _render_tile(
-                scene, rot, pos, fov, aspect, near, ids,
-                jnp.int32(frame), jnp.int32(sample_base),
-                cfg=cfg, n_samples=spp,
-            )
+    n_tiles = -(-n_pix // tile)
+    if n_tiles == 1:
+        out = _render_tile(
+            scene, rot, pos, fov, aspect, near,
+            jnp.arange(n_pix, dtype=jnp.int32),
+            jnp.int32(frame), jnp.int32(sample_base),
+            cfg=cfg, n_samples=spp,
         )
-    return jnp.asarray(out.reshape(cfg.height, cfg.width, 3))
+    else:
+        out = _render_tiles_scan(
+            scene, rot, pos, fov, aspect, near,
+            jnp.int32(frame), jnp.int32(sample_base),
+            cfg=cfg, n_samples=spp, tile=tile, n_tiles=n_tiles,
+        )[:n_pix]
+    return out.reshape(cfg.height, cfg.width, 3)
 
 
 def render(
