@@ -98,27 +98,28 @@ def _gather_hit_attrs(scene: CompiledScene, rays: CameraRays, hit: traverse.Hit)
     s_n = s_n / jnp.maximum(jnp.linalg.norm(s_n, axis=-1, keepdims=True), 1e-20)
     s_n = s_n * jnp.where(hit.front, 1.0, -1.0)[:, None]
 
-    # Triangle attributes.
+    # Triangle attributes: ONE packed gather row per hit (vn 9 | uv 6 |
+    # degen 1) — per-lane table gathers are the dominant per-bounce cost on
+    # TPU, so the row is precomputed at scene-compile time.
     w = 1.0 - hit.u - hit.v
-    vn = scene.tri_vn[tri_i]  # (N,3,3)
-    n_obj = (
-        vn[:, 0] * w[:, None] + vn[:, 1] * hit.u[:, None] + vn[:, 2] * hit.v[:, None]
-    )
+    srow = scene.tri_shade[tri_i]  # (N,16)
+    vn0, vn1, vn2 = srow[:, 0:3], srow[:, 3:6], srow[:, 6:9]
+    n_obj = vn0 * w[:, None] + vn1 * hit.u[:, None] + vn2 * hit.v[:, None]
     n_obj = n_obj * jnp.where(hit.front, 1.0, -1.0)[:, None]
-    m = scene.obj_transform[obj_i]
-    n_world = jnp.einsum("nij,nj->ni", m[:, :3, :3], n_obj)
+    if scene.meta.get("flattened", False):
+        # Geometry (and vertex normals) were baked to world space; the
+        # per-hit obj_transform gather + matmul would multiply by identity.
+        n_world = n_obj
+    else:
+        m = scene.obj_transform[obj_i]
+        n_world = jnp.einsum("nij,nj->ni", m[:, :3, :3], n_obj)
     n_world = n_world / jnp.maximum(
         jnp.linalg.norm(n_world, axis=-1, keepdims=True), 1e-20
     )
 
-    uvs = scene.tri_uv[tri_i]  # (N,3,2)
-    uv = uvs[:, 0] * w[:, None] + uvs[:, 1] * hit.u[:, None] + uvs[:, 2] * hit.v[:, None]
-    degen = (
-        jnp.all(uvs[:, 0] == uvs[:, 1], axis=-1)
-        | jnp.all(uvs[:, 1] == uvs[:, 2], axis=-1)
-        | jnp.all(uvs[:, 2] == uvs[:, 0], axis=-1)
-    )
-    uv = jnp.where(degen[:, None], 0.5, uv)  # raytrace.comp:254-256
+    uv0, uv1, uv2 = srow[:, 9:11], srow[:, 11:13], srow[:, 13:15]
+    uv = uv0 * w[:, None] + uv1 * hit.u[:, None] + uv2 * hit.v[:, None]
+    uv = jnp.where(srow[:, 15:16] > 0.5, 0.5, uv)  # raytrace.comp:254-256
 
     normal = jnp.where(is_sphere[:, None], s_n, n_world)
     mat = jnp.where(is_sphere, scene.sphere_mat[sphere_i], scene.obj_mat[obj_i])

@@ -38,8 +38,11 @@ from .intersect import BIG
 
 # Packet-kernel VMEM budget for resident tables (wide boxes+meta, and tris
 # when they fit).  v5e VMEM is 128MB; the raised scoped-vmem staging limit
-# (utils/jitting.py) leaves this much room comfortably.
-_PACKET_VMEM_BUDGET = 20_000_000
+# (utils/jitting.py) leaves this much room comfortably.  48MB keeps a
+# Sponza-scale table (260k tris = ~17MB tris + ~5MB nodes) fully resident —
+# measured on a directly-attached v5e, the serialized per-leaf HBM DMA
+# variant is the dominant cost for such scenes.
+_PACKET_VMEM_BUDGET = 48_000_000
 
 
 def _packet_mode(scene: CompiledScene) -> str:

@@ -346,6 +346,19 @@ class SceneBuilder:
         tri_packed[:, 12] = front_only.astype(f32)
         tri_packed[:, 13] = tri_obj.astype(i32).view(f32)
 
+        # Packed shade row: ONE hot-path gather per hit instead of separate
+        # tri_vn + tri_uv gathers; the degenerate-uv flag
+        # (raytrace.comp:254-256) is per-triangle and precomputed.
+        tri_shade = np.zeros((n_tris, 16), f32)
+        tri_shade[:, 0:9] = normals.reshape(n_tris, 9)
+        tri_shade[:, 9:15] = uvs.reshape(n_tris, 6)
+        degen = (
+            np.all(uvs[:, 0] == uvs[:, 1], axis=-1)
+            | np.all(uvs[:, 1] == uvs[:, 2], axis=-1)
+            | np.all(uvs[:, 2] == uvs[:, 0], axis=-1)
+        )
+        tri_shade[:, 15] = degen.astype(f32)
+
         # BVH8 for the wide packet kernel (single-tree scenes only)
         if flattened:
             from ..accel.wide import collapse
@@ -407,6 +420,7 @@ class SceneBuilder:
             tri_obj=tri_obj,
             tri_vn=normals.astype(f32),
             tri_uv=uvs.astype(f32),
+            tri_shade=tri_shade,
             obj_transform=obj_transform,
             obj_inv_transform=obj_inv,
             obj_bvh_root=obj_root,

@@ -155,6 +155,10 @@ class CompiledScene:
     # Vertex attributes for deferred shading (indexed by reordered tri id).
     tri_vn: Any  # (T,3,3) f32 vertex normals
     tri_uv: Any  # (T,3,2) f32 vertex uvs
+    # Packed single-gather shade row (hot path): vn0|vn1|vn2 (9) |
+    # uv0|uv1|uv2 (6) | degenerate-uv flag (1).  The degenerate test
+    # (raytrace.comp:254-256) is per-triangle, so it is precomputed here.
+    tri_shade: Any  # (T,16) f32
 
     # Instances.
     obj_transform: Any  # (O,4,4) f32
