@@ -272,23 +272,31 @@ def packet_traverse(
 # ---------------------------------------------------------------------------
 # Wide (BVH8) variant: one visit tests 8 children, amortizing the scalar
 # unit (pop, meta reads, mask transfer, pushes) over 8 tree edges.
+#
+# Node layout is ONE native (1,128) f32 row per wide node — Mosaic pads the
+# minor dim of VMEM arrays to 128 lanes, so narrow (B,8)/(B,4) tables cost
+# 16-32x their size in VMEM (measured: a 260k-tri scene's tables demanded
+# 237MB of 128MB VMEM).  Per child c: lanes 8c..8c+5 = min3|max3, lane
+# 8c+6 = traversal code *as an f32 value* (exact for |code| < 2^24; scalar
+# bitcasts are dicey in Mosaic).  Lane 7 = child-sort axis.  Codes: >= 0
+# -> target wide node id; < 0 -> leaf, slot = -code-1 into the (L,128)
+# leaf-row table (8 NaN-padded tri records per row, shared with the
+# HBM-DMA variant).  Empty slots carry NaN boxes -> never hit, never pushed.
 # ---------------------------------------------------------------------------
 
 
 def _packet8_kernel(
-    boxes_ref,  # (W*8, 8) f32: per child slot min3|max3|pad2
-    meta_ref,  # (W*8+1, 4) i32: tri_start|tri_count|axis|pad (leaf)
-    #            or wide_id|0|axis|pad (interior); last row = entry
-    tris_ref,  # (T,16) f32
+    nodes_ref,  # (W,128) f32 packed wide nodes (see layout above)
+    tris_ref,  # (L,128) f32 leaf rows, VMEM or HBM
     ox_ref, oy_ref, oz_ref,
     dx_ref, dy_ref, dz_ref,
     tmax_ref,
-    entry_ref,  # (1,1) i32 SMEM: entry pseudo-slot code
+    entry_ref,  # (1,1) i32 SMEM: entry code (wide root id, or leaf code)
     dst_ref, prim_ref, u_ref, v_ref, front_ref,
     stack_ref,  # SMEM (STACK_DEPTH*8,) i32
-    *scratch,  # HBM-tris variant: (tri_buf VMEM (max_leaf,16), dma_sem)
-    max_leaf: int,
+    *scratch,  # HBM-tris variant: (tri_buf VMEM (1,128), dma_sem)
     tris_in_hbm: bool = False,
+    max_recs: int = 8,
 ):
     ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
@@ -306,14 +314,14 @@ def _packet8_kernel(
     neg_y = jnp.sum(jnp.where(dy < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dy.size)
     neg_z = jnp.sum(jnp.where(dz < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dz.size)
 
-    def slab_row(row_i):
-        row = boxes_ref[pl.ds(row_i, 1), :]  # (1,8)
-        t1x = (row[0, 0] - ox) * inv_x
-        t2x = (row[0, 3] - ox) * inv_x
-        t1y = (row[0, 1] - oy) * inv_y
-        t2y = (row[0, 4] - oy) * inv_y
-        t1z = (row[0, 2] - oz) * inv_z
-        t2z = (row[0, 5] - oz) * inv_z
+    def slab_child(row, c):
+        """Entry distances of all lanes vs child slot ``c`` (static)."""
+        t1x = (row[0, 8 * c + 0] - ox) * inv_x
+        t2x = (row[0, 8 * c + 3] - ox) * inv_x
+        t1y = (row[0, 8 * c + 1] - oy) * inv_y
+        t2y = (row[0, 8 * c + 4] - oy) * inv_y
+        t1z = (row[0, 8 * c + 2] - oz) * inv_z
+        t2z = (row[0, 8 * c + 5] - oz) * inv_z
         tmin = jnp.maximum(
             jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
             jnp.minimum(t1z, t2z),
@@ -354,8 +362,17 @@ def _packet8_kernel(
             closer, front.astype(jnp.float32), front_ref[...]
         )
 
+    def _test_block(block, slot):
+        # Static unroll over the row's records: NaN padding records cost
+        # real VPU work, so scenes built with max_leaf<=4 unroll only 4
+        # (their rows never hold more).  A runtime cnt branch was measured
+        # 12% SLOWER than the wasted NaN tests (lax.cond per leaf visit).
+        for k in range(max_recs):
+            trow = block[:, 16 * k : 16 * (k + 1)]
+            _tri_test(trow, slot * 8 + k)  # padded id; mapped outside
+
     if tris_in_hbm:
-        def leaf_tris(idx, cnt, slot):
+        def leaf_tris(slot):
             # DMA the leaf's single aligned (1,128) row = 8 padded tri
             # records, then statically unroll over them.
             tri_buf, dma_sem = scratch
@@ -364,17 +381,10 @@ def _packet8_kernel(
             )
             cp.start()
             cp.wait()
-            block = tri_buf[...]  # (1,128)
-            for k in range(8):
-                trow = block[:, 16 * k : 16 * (k + 1)]
-                _tri_test(trow, slot * 8 + k)  # padded id; mapped outside
+            _test_block(tri_buf[...], slot)
     else:
-        def leaf_tris(idx, cnt, slot):
-            def tri_body(k, _):
-                _tri_test(tris_ref[pl.ds(idx + k, 1), :], idx + k)
-                return 0
-
-            jax.lax.fori_loop(0, cnt, tri_body, 0)
+        def leaf_tris(slot):
+            _test_block(tris_ref[pl.ds(slot, 1), :], slot)
 
     stack_ref[0] = entry_ref[0, 0]
 
@@ -384,80 +394,79 @@ def _packet8_kernel(
     def body(sp):
         sp = sp - 1
         code = stack_ref[sp]
-        meta = meta_ref[pl.ds(code, 1), :]  # (1,4)
-        idx = meta[0, 0]
-        cnt = meta[0, 1]
-        axis = meta[0, 2]
-        slot = meta[0, 3]
 
         def visit_leaf():
-            leaf_tris(idx, cnt, slot)
+            # leaf code payload: -(slot*16 + cnt) - 1
+            leaf_tris((-code - 1) // 16)
             return sp
 
         def visit_interior():
             best = dst_ref[...]
-            base = idx * 8
+            row = nodes_ref[pl.ds(code, 1), :]  # (1,128): whole wide node
             # Per-child any-hit -> scalar bitmask with 4 reductions: two
             # children share one i32 sum, counts packed 15 bits apart (lane
             # count <= 8192 so fields cannot carry).  (A plain bitwise-or
             # reduce miscompiles in Mosaic: arith.shrsi i1 operand bug.)
             mask = jnp.int32(0)
             for k in range(4):
-                t_a = slab_row(base + 2 * k)
-                t_b = slab_row(base + 2 * k + 1)
+                t_a = slab_child(row, 2 * k)
+                t_b = slab_child(row, 2 * k + 1)
                 h_a = jnp.where(t_a < best, jnp.int32(1), 0)
                 h_b = jnp.where(t_b < best, jnp.int32(1 << 15), 0)
                 word = jnp.sum(h_a + h_b)
                 any_a = jnp.where((word & 0x7FFF) > 0, jnp.int32(1), 0)
                 any_b = jnp.where((word >> 15) > 0, jnp.int32(1), 0)
                 mask = mask | (any_a << (2 * k)) | (any_b << (2 * k + 1))
+            axis = row[0, 7].astype(jnp.int32)
             neg = jnp.where(
                 axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z)
             )
+            # child traversal codes, eagerly extracted (f32-held ints) —
+            # extracting inside the push branch measured ~12% slower
+            codes = [row[0, 8 * c + 6].astype(jnp.int32) for c in range(8)]
             s = sp
             # slots are sorted ascending along axis: push far-to-near so the
             # near child pops first (iteration direction from packet sign)
             for c in range(8):
-                slot_fwd = 7 - c  # +dir: far = high slot, push it first
-                slot_bwd = c
-                slot = jnp.where(neg, slot_bwd, slot_fwd)
+                # +dir: far = high slot, push it first
+                slot = jnp.where(neg, c, 7 - c)
                 bit = (mask >> slot) & 1
+                val = jnp.where(neg, codes[c], codes[7 - c])
 
                 @pl.when(bit == 1)
-                def _(s=s, slot=slot):
-                    stack_ref[s] = base + slot
+                def _(s=s, val=val):
+                    stack_ref[s] = val
 
                 s = s + bit
             return s
 
-        # cnt > 0: leaf; cnt == 0: interior; cnt < 0 (empty slot, should be
-        # unreachable): leaf branch with an empty fori -> no-op
-        return jax.lax.cond(cnt == 0, visit_interior, visit_leaf)
+        return jax.lax.cond(code < 0, visit_leaf, visit_interior)
 
     jax.lax.while_loop(cond, body, jnp.int32(1))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_leaf", "interpret", "packet_size", "tris_in_hbm"),
+    static_argnames=("interpret", "packet_size", "tris_in_hbm", "max_recs"),
 )
 def packet_traverse_wide(
-    boxes: jnp.ndarray,  # (W*8, 8) f32
-    meta: jnp.ndarray,  # (W*8+1, 4) i32
-    tris: jnp.ndarray,  # (T,16) f32
+    nodes: jnp.ndarray,  # (W,128) f32 packed wide nodes
+    leaf_rows: jnp.ndarray,  # (L,128) f32: 8 NaN-padded tri records per row
     origin: jnp.ndarray,
     direction: jnp.ndarray,
     tmax0: jnp.ndarray,
-    entry_code,
-    max_leaf: int = 4,
+    entry_code=0,
     interpret: bool = False,
     packet_size: int = None,
     tris_in_hbm: bool = False,
+    max_recs: int = 8,
 ):
-    """BVH8 packet traversal; same contract as :func:`packet_traverse`.
+    """BVH8 packet traversal; same contract as :func:`packet_traverse`,
+    except ``prim`` returns *padded leaf-slot ids* (slot*8 + k) — map them
+    through the scene's ``leaf_map`` to global triangle ids.
 
-    ``tris_in_hbm``: keep the triangle table in HBM and DMA leaf blocks on
-    demand — for scenes whose triangles don't fit VMEM (nodes still must).
+    ``tris_in_hbm``: keep the leaf-row table in HBM and DMA rows on demand —
+    for scenes whose triangles don't fit VMEM (nodes still must).
     """
     p_size = packet_size or PACKET
     sub = 8 * (p_size // 1024)
@@ -488,24 +497,22 @@ def packet_traverse_wide(
         jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
     ]
     kernel = functools.partial(
-        _packet8_kernel, max_leaf=max_leaf, tris_in_hbm=tris_in_hbm
+        _packet8_kernel, tris_in_hbm=tris_in_hbm, max_recs=max_recs
     )
     scratch = [pltpu.SMEM((STACK_DEPTH * 8,), jnp.int32)]
     if tris_in_hbm:
-        # tris here is the (L,128) leaf-row table; DMA one row per leaf
         tri_spec = pl.BlockSpec(memory_space=pltpu.HBM)
         scratch += [
             pltpu.VMEM((1, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ]
     else:
-        tri_spec = full(tris)
+        tri_spec = full(leaf_rows)
     dst, prim, u, v, front = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
-            full(boxes),
-            full(meta),
+            full(nodes),
             tri_spec,
             row_spec, row_spec, row_spec,
             row_spec, row_spec, row_spec,
@@ -516,7 +523,7 @@ def packet_traverse_wide(
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(boxes, meta, tris, ox, oy, oz, dx, dy, dz, tmax, entry_arr)
+    )(nodes, leaf_rows, ox, oy, oz, dx, dy, dz, tmax, entry_arr)
 
     flat = lambda x: x.reshape(-1)[:n]
     return (

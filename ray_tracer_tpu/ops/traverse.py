@@ -57,8 +57,9 @@ def _packet_mode(scene: CompiledScene) -> str:
     mode = os.environ.get("RT_PACKET", "auto")
     if mode == "0" or not scene.meta.get("flattened", False):
         return "off"
-    node_bytes = scene.wide_boxes.shape[0] * 32 + scene.wide_meta.shape[0] * 16
-    tri_bytes = scene.tri_packed.shape[0] * 64
+    # True VMEM-resident sizes: both tables are already 128-lane rows.
+    node_bytes = scene.wide_packed.shape[0] * 512
+    tri_bytes = scene.leaf_rows.shape[0] * 512
     if node_bytes > _PACKET_VMEM_BUDGET:
         return "off"
     placement = "vmem" if node_bytes + tri_bytes <= _PACKET_VMEM_BUDGET else "hbm"
@@ -168,22 +169,20 @@ def traverse(
         if os.environ.get("RT_WIDE", "1") != "0":
             hbm = mode == "hbm"
             dst, prim, u, v, front = packet.packet_traverse_wide(
-                scene.wide_boxes,
-                scene.wide_meta,
-                scene.leaf_rows if hbm else scene.tri_packed,
+                scene.wide_packed,
+                scene.leaf_rows,
                 origin,
                 direction,
                 tmax0,
-                scene.wide_meta.shape[0] - 1,  # entry pseudo-slot
-                max_leaf=scene.max_leaf_tris,
+                0,  # entry = wide root
                 interpret=(mode == "interpret"),
                 tris_in_hbm=hbm,
+                max_recs=4 if scene.max_leaf_tris <= 4 else 8,
             )
-            if hbm:
-                # kernel reports padded leaf-slot ids; map to global tri ids
-                prim = jnp.where(
-                    prim >= 0, scene.leaf_map[jnp.maximum(prim, 0)], prim
-                )
+            # kernel reports padded leaf-slot ids; map to global tri ids
+            prim = jnp.where(
+                prim >= 0, scene.leaf_map[jnp.maximum(prim, 0)], prim
+            )
         else:
             meta = jnp.stack(
                 [

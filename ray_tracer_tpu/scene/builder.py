@@ -364,10 +364,9 @@ class SceneBuilder:
             from ..accel.wide import collapse
 
             wide_bvh = collapse(forest, forest.roots[0])
-            wide_boxes = wide_bvh.boxes
             wide_meta = wide_bvh.meta
             # Leaf-slot layout: one 128-float (8-tri) row per leaf so the
-            # HBM-DMA kernel copies aligned full rows.  Padding slots carry
+            # kernel reads/DMAs aligned full rows.  Padding slots carry
             # NaN v0 (every intersection test fails on NaN).
             leaf_rows_list = []
             leaf_map_list = []
@@ -393,9 +392,27 @@ class SceneBuilder:
                 if leaf_map_list
                 else np.zeros(8, i32)
             )
+            # Native (W,128) row per wide node (Mosaic pads VMEM minor dims
+            # to 128 lanes, so narrow tables waste 16-32x VMEM): per child c
+            # lanes 8c..8c+5 = min/max, lane 8c+6 = traversal code held as
+            # an f32 VALUE (>=0 wide id; <0 leaf with payload
+            # -(slot*16 + cnt) - 1), lane 7 = child-sort axis.  Empty slots
+            # keep NaN boxes (never hit).
+            n_wide = wide_bvh.n_wide
+            wide_packed = np.zeros((n_wide, 128), f32)
+            wide_packed[:, :64] = wide_bvh.boxes.reshape(n_wide, 64)
+            slot_meta = wide_meta[:-1].reshape(n_wide, 8, 4)
+            codes = np.where(
+                slot_meta[:, :, 1] > 0,
+                -(slot_meta[:, :, 3] * 16 + slot_meta[:, :, 1]) - 1,
+                slot_meta[:, :, 0],
+            ).astype(f32)
+            wide_packed[:, 6:64:8] = codes
+            wide_packed[:, 7] = wide_bvh.axis.astype(f32)
         else:
-            wide_boxes = np.zeros((8, 8), f32)
-            wide_meta = np.zeros((9, 4), i32)
+            wide_packed = np.full((1, 128), np.nan, f32)
+            wide_packed[:, 6:64:8] = 0.0
+            wide_packed[:, 7] = 0.0
             leaf_rows = np.full((1, 128), np.nan, f32)
             leaf_map = np.zeros(8, i32)
 
@@ -437,8 +454,7 @@ class SceneBuilder:
             bvh_packed=bvh_packed,
             links_packed=links_packed,
             tri_packed=tri_packed,
-            wide_boxes=wide_boxes,
-            wide_meta=wide_meta,
+            wide_packed=wide_packed,
             leaf_rows=leaf_rows,
             leaf_map=leaf_map,
             light_corner=li_corner,

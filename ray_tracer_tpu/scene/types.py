@@ -181,9 +181,12 @@ class CompiledScene:
     bvh_packed: Any  # (B,8) f32: min3 | max3 | index (bitcast) | count (bitcast)
     links_packed: Any  # (8*B,2) i32: hit | miss, octant-major
     tri_packed: Any  # (T,16) f32: v0|e1|e2|n | front_only | obj (bitcast) | pad2
-    # BVH8 collapse for the wide packet kernel (flattened scenes):
-    wide_boxes: Any  # (W*8,8) f32 child slot boxes
-    wide_meta: Any  # (W*8+1,4) i32 slot meta; last row = traversal entry
+    # BVH8 collapse for the wide packet kernel (flattened scenes), packed
+    # as one native 128-lane f32 row per wide node: per child c, lanes
+    # 8c..8c+5 = min3|max3, lane 8c+6 = traversal code as an f32 value
+    # (>=0 target wide id; <0 leaf with payload -(slot*16 + cnt) - 1);
+    # lane 7 = axis.  f32-exact for < ~1M leaves (16M-tri scenes).
+    wide_packed: Any  # (W,128) f32
     # Leaf-slot triangle layout for the HBM-DMA variant: each leaf owns one
     # 128-float row (8 padded tri records); NaN v0 marks padding.
     leaf_rows: Any  # (L,128) f32

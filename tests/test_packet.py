@@ -147,22 +147,13 @@ def test_wide_packet_hbm_tris_matches(rand):
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     d = jnp.asarray(d)
     tmax0 = jnp.full((n,), 99999999.0)
-    entry = scene.wide_meta.shape[0] - 1
     a = pk.packet_traverse_wide(
-        scene.wide_boxes, scene.wide_meta, scene.tri_packed, origin, d, tmax0,
-        entry, max_leaf=scene.max_leaf_tris, interpret=True, tris_in_hbm=False,
+        scene.wide_packed, scene.leaf_rows, origin, d, tmax0,
+        0, interpret=True, tris_in_hbm=False,
     )
     b = pk.packet_traverse_wide(
-        scene.wide_boxes, scene.wide_meta, scene.leaf_rows, origin, d, tmax0,
-        entry, max_leaf=scene.max_leaf_tris, interpret=True, tris_in_hbm=True,
-    )
-    b_prim = np.asarray(b[1])
-    b_prim = np.where(
-        b_prim >= 0,
-        np.asarray(scene.leaf_map)[np.maximum(b_prim, 0)],
-        b_prim,
+        scene.wide_packed, scene.leaf_rows, origin, d, tmax0,
+        0, interpret=True, tris_in_hbm=True,
     )
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-6)
-    np.testing.assert_array_equal(np.asarray(a[1]) >= 0, b_prim >= 0)
-    m = np.asarray(a[1]) >= 0
-    np.testing.assert_array_equal(np.asarray(a[1])[m], b_prim[m])
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))

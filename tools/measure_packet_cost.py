@@ -62,10 +62,8 @@ def main():
         def fn(o, d, tmax):
             def one(acc, _):
                 dst, prim, u, v, front = packet.packet_traverse_wide(
-                    scene.wide_boxes, scene.wide_meta, scene.tri_packed,
-                    o, d, tmax,
-                    scene.wide_meta.shape[0] - 1,
-                    max_leaf=scene.max_leaf_tris,
+                    scene.wide_packed, scene.leaf_rows,
+                    o, d, tmax, 0,
                     packet_size=psize,
                 )
                 return acc + jnp.sum(dst * 0 + prim * 0), None
