@@ -40,12 +40,15 @@ class RenderConfig:
     # pallas operands in scoped VMEM — 2*(1<<17) lanes is the safe ceiling
     # measured on v5e.
     max_rays_per_batch: int = 1 << 17
-    # Sort bounce/NEE rays (alive-first, then direction octant) before
-    # traversal so dead lanes cluster into packets that exit immediately and
-    # live packets stay direction-coherent.  Per-lane results are identical;
-    # only packet composition changes.  Off by default: the argsort+permute
-    # costs more than it saves on the current test chip; revisit on real HW.
-    sort_bounce_rays: bool = False
+    # Compact bounce/NEE rays alive-first before traversal so dead lanes
+    # cluster into trailing packets that exit at the BVH root (~1.3 us
+    # each, measured).  Implemented as a stable two-bucket partition (one
+    # cumsum + one scatter + gathers).  Measured on a real v5e the
+    # XLA-level permute still LOSES (klein 2.23 -> 1.55 Mrays/s; a full
+    # argsort loses 5x) — the scatter/gathers cost more than the saved
+    # traversal — so None (auto) currently means OFF; the flag remains
+    # for experiments.  Per-lane results are identical either way.
+    sort_bounce_rays: "bool | None" = None
 
     def replace(self, **kw) -> "RenderConfig":
         return replace(self, **kw)
