@@ -266,7 +266,7 @@ def trace(
 
         # diffuse: NEE direction (traced in the combined launch below)
         nee_origin = hp + normal * 0.01  # raytrace.comp:432
-        l_dir, li, n_lights_w = lights.sample_rect_light(
+        l_dir, li, n_lights_w, l_dist = lights.sample_rect_light(
             scene, nee_origin, u6[:, 0], u6[:, 1], u6[:, 2]
         )
         cos_pdf_at_l = bsdf.cosine_hemisphere_pdf(normal, l_dir)
@@ -333,6 +333,11 @@ def trace(
         o_both = jnp.concatenate([new_origin, nee_origin])
         d_both = jnp.concatenate([new_dir, l_dir])
         a_both = jnp.concatenate([alive, nee_active])
+        # Shadow rays are clipped just past the sampled light point: hits
+        # beyond it are never emissive-at-the-light, so the result is
+        # identical while traversal prunes every subtree beyond the light.
+        nee_tmax = l_dist * 1.002 + 1e-3
+        t_both = jnp.concatenate([jnp.full((n,), intersect.BIG), nee_tmax])
         do_sort = cfg.sort_bounce_rays
         if do_sort is None:
             # auto = off: the XLA-level permute (cumsum+scatter+gathers)
@@ -355,11 +360,14 @@ def trace(
                 unique_indices=True,
             )
             both = traverse.traverse(
-                scene, o_both[order], d_both[order], a_both[order]
+                scene, o_both[order], d_both[order], a_both[order],
+                tmax=t_both[order],
             )
             both = jax.tree.map(lambda x: x[dest], both)
         else:
-            both = traverse.traverse(scene, o_both, d_both, a_both)
+            both = traverse.traverse(
+                scene, o_both, d_both, a_both, tmax=t_both
+            )
         hit_next = jax.tree.map(lambda x: x[:n], both)
         nee_hit = jax.tree.map(lambda x: x[n:], both)
 

@@ -114,18 +114,24 @@ def traverse(
     direction: jnp.ndarray,
     active: jnp.ndarray,
     max_steps: int = 4096,
+    tmax: jnp.ndarray = None,
 ) -> Hit:
     """Closest hit for a batch of world-space rays.
 
     ``active`` masks lanes; inactive lanes return no-hit without traversal
     work (their node pointer starts at the sentinel).
+
+    ``tmax`` (optional, (N,)): per-lane search radius.  Hits beyond it are
+    not found (lanes report no-hit; ``dst`` stays at the initial bound).
+    Used to clip NEE shadow rays at the sampled light distance, which
+    prunes every BVH subtree beyond the light.
     """
     n = origin.shape[0]
     n_nodes = scene.bvh_index.shape[0]
     max_leaf = scene.max_leaf_tris
 
     best = Hit(
-        dst=jnp.full((n,), BIG),
+        dst=jnp.full((n,), BIG) if tmax is None else jnp.asarray(tmax),
         kind=jnp.zeros((n,), jnp.int32),
         prim=jnp.zeros((n,), jnp.int32),
         obj=jnp.zeros((n,), jnp.int32),

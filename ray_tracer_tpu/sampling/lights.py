@@ -33,10 +33,9 @@ def sample_rect_light(scene, origin, r_pick, r1, r2):
         + scene.light_edge_v[li] * r2[:, None]
     )
     vec = point - origin
-    direction = vec / jnp.maximum(
-        jnp.linalg.norm(vec, axis=-1, keepdims=True), 1e-20
-    )
-    return direction, li, jnp.float32(n_lights)
+    dist = jnp.linalg.norm(vec, axis=-1)
+    direction = vec / jnp.maximum(dist, 1e-20)[:, None]
+    return direction, li, jnp.float32(n_lights), dist
 
 
 def rect_light_pdf(scene, li, direction, hit_dst, hit_emissive):
