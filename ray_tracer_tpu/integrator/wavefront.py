@@ -183,12 +183,17 @@ def trace(
     sample: jnp.ndarray,
     cfg: RenderConfig,
     with_stats: bool = False,
+    with_profile: bool = False,
 ):
     """Path-trace one sample for a batch of rays -> (N,3) linear radiance.
 
     With ``with_stats`` also returns the number of traversals actually
     performed (main + NEE shadow rays) — the Mrays/s numerator, the TPU
-    analogue of the reference's ``stats[2]`` counters (raytrace.comp:276)."""
+    analogue of the reference's ``stats[2]`` counters (raytrace.comp:276).
+
+    With ``with_profile`` additionally returns per-bounce occupancy counts
+    ``(alive[j], nee_active[j])`` stacked over the bounce scan — the
+    wavefront-utilization diagnostic behind the compaction design."""
     n = rays.origin.shape[0]
     f3 = lambda v: jnp.full((n, 3), v, jnp.float32)
 
@@ -329,64 +334,108 @@ def trace(
         new_origin = jnp.where(alive[:, None], new_origin, carry.origin)
         new_dir = jnp.where(alive[:, None], new_dir, carry.direction)
 
-        # ---- ONE combined traversal: next bounce rays ++ NEE shadow rays
-        o_both = jnp.concatenate([new_origin, nee_origin])
-        d_both = jnp.concatenate([new_dir, l_dir])
-        a_both = jnp.concatenate([alive, nee_active])
-        # Shadow rays are clipped just past the sampled light point: hits
-        # beyond it are never emissive-at-the-light, so the result is
-        # identical while traversal prunes every subtree beyond the light.
-        nee_tmax = l_dist * 1.002 + 1e-3
-        t_both = jnp.concatenate([jnp.full((n,), intersect.BIG), nee_tmax])
-        do_sort = cfg.sort_bounce_rays
-        if do_sort is None:
-            # auto = off: the XLA-level permute (cumsum+scatter+gathers)
-            # measured slower than the traversal it saves on a real v5e
-            # (klein 2.23 -> 1.55 Mrays/s); in-kernel reordering is the
-            # round-2 approach.
-            do_sort = False
-        if do_sort:
-            # Alive-first compaction: a stable two-bucket partition (one
-            # cumsum, no argsort — measured 5x cheaper).  Dead lanes
-            # cluster into trailing packets that exit at the BVH root;
-            # per-lane results are order-independent, un-permuted after.
-            alive_i = a_both.astype(jnp.int32)
-            n_alive = jnp.sum(alive_i)
-            pos_alive = jnp.cumsum(alive_i) - 1
-            pos_dead = n_alive + jnp.cumsum(1 - alive_i) - 1
-            dest = jnp.where(a_both, pos_alive, pos_dead)
-            order = jnp.zeros_like(dest).at[dest].set(
-                jnp.arange(dest.shape[0], dtype=dest.dtype),
-                unique_indices=True,
+        if cfg.nee_anyhit and scene.n_lights == 0:
+            # No rect lights: NEE can never contribute (the closest-hit
+            # resolve would always find pdf=0), so skip the shadow launch
+            # entirely.  ``direct`` still becomes 0 (not the -1 delta
+            # sentinel) after diffuse bounces, preserving the reference's
+            # 0/1-NEE emission suppression (raytrace.comp:500-505).
+            hit_next = traverse.traverse(scene, new_origin, new_dir, alive)
+            nee_active = jnp.zeros_like(nee_active)
+            l_emit = f3(0.0)
+            real_l_pdf = jnp.zeros((n,), jnp.float32)
+        elif cfg.nee_anyhit:
+            # ---- split launches: closest-hit bounce rays + ANY-HIT shadow
+            # rays.  Shadow lanes terminate at their first hit inside the
+            # clip (no closest-hit refinement), and the light-side pdf is
+            # analytic at the sampled distance — the value the reference's
+            # raycast returns when unoccluded (raytrace.comp:396-402).
+            # Deviation (documented): an emissive surface strictly BETWEEN
+            # the shading point and the sampled light counts as an occluder
+            # here, where the reference would credit ITS emission instead;
+            # scenes whose only emitters are the light rects (all presets,
+            # and everything the reference ships) are unaffected.
+            hit_next = traverse.traverse(scene, new_origin, new_dir, alive)
+            occluded = traverse.traverse_anyhit(
+                scene, nee_origin, l_dir, nee_active,
+                tmax=l_dist * (1.0 - 1e-3),
             )
-            both = traverse.traverse(
-                scene, o_both[order], d_both[order], a_both[order],
-                tmax=t_both[order],
+            reached = nee_active & ~occluded
+            l_emit = lights.rect_light_emission(scene, li)
+            real_l_pdf = jnp.where(
+                reached,
+                lights.rect_light_pdf_analytic(scene, li, l_dir, l_dist),
+                0.0,
             )
-            both = jax.tree.map(lambda x: x[dest], both)
         else:
-            both = traverse.traverse(
-                scene, o_both, d_both, a_both, tmax=t_both
+            # ---- ONE combined traversal: next bounce rays ++ NEE shadow
+            # rays, both closest-hit (the reference-shaped resolve).
+            o_both = jnp.concatenate([new_origin, nee_origin])
+            d_both = jnp.concatenate([new_dir, l_dir])
+            a_both = jnp.concatenate([alive, nee_active])
+            # Shadow rays are clipped just past the sampled light point:
+            # hits beyond it are never emissive-at-the-light, so the result
+            # is identical while traversal prunes subtrees beyond the light.
+            nee_tmax = l_dist * 1.002 + 1e-3
+            t_both = jnp.concatenate(
+                [jnp.full((n,), intersect.BIG), nee_tmax]
             )
-        hit_next = jax.tree.map(lambda x: x[:n], both)
-        nee_hit = jax.tree.map(lambda x: x[n:], both)
+            do_sort = cfg.sort_bounce_rays
+            if do_sort is None:
+                # auto = off: the XLA-level permute (cumsum+scatter+gathers)
+                # measured slower than the traversal it saves on a real v5e
+                # (klein 2.23 -> 1.55 Mrays/s).
+                do_sort = False
+            if do_sort:
+                # Alive-first compaction: a stable two-bucket partition (one
+                # cumsum, no argsort — measured 5x cheaper).  Dead lanes
+                # cluster into trailing packets that exit at the BVH root;
+                # per-lane results are order-independent, un-permuted after.
+                alive_i = a_both.astype(jnp.int32)
+                n_alive = jnp.sum(alive_i)
+                pos_alive = jnp.cumsum(alive_i) - 1
+                pos_dead = n_alive + jnp.cumsum(1 - alive_i) - 1
+                dest = jnp.where(a_both, pos_alive, pos_dead)
+                order = jnp.zeros_like(dest).at[dest].set(
+                    jnp.arange(dest.shape[0], dtype=dest.dtype),
+                    unique_indices=True,
+                )
+                both = traverse.traverse(
+                    scene, o_both[order], d_both[order], a_both[order],
+                    tmax=t_both[order],
+                )
+                both = jax.tree.map(lambda x: x[dest], both)
+            else:
+                both = traverse.traverse(
+                    scene, o_both, d_both, a_both, tmax=t_both
+                )
+            hit_next = jax.tree.map(lambda x: x[:n], both)
+            nee_hit = jax.tree.map(lambda x: x[n:], both)
 
-        # ---- NEE resolve (becomes next bounce's pending directLight)
-        nee_mat = jnp.where(
-            nee_hit.kind == traverse.KIND_SPHERE,
-            scene.sphere_mat[jnp.where(nee_hit.kind == traverse.KIND_SPHERE, nee_hit.prim, 0)],
-            scene.obj_mat[jnp.where(nee_hit.kind == traverse.KIND_TRI, nee_hit.obj, 0)],
-        )
-        nee_mat = jnp.where(nee_hit.did_hit, nee_mat, 0).astype(jnp.int32)
-        nee_strength = scene.mat_emission_strength[nee_mat]
-        l_emit = scene.mat_emission[nee_mat] * nee_strength[:, None]
-        hit_emissive = nee_hit.did_hit & (nee_strength > 0.0)
-        real_l_pdf = lights.rect_light_pdf(scene, li, l_dir, nee_hit.dst, hit_emissive)
+            # ---- NEE resolve (becomes next bounce's pending directLight)
+            nee_mat = jnp.where(
+                nee_hit.kind == traverse.KIND_SPHERE,
+                scene.sphere_mat[jnp.where(nee_hit.kind == traverse.KIND_SPHERE, nee_hit.prim, 0)],
+                scene.obj_mat[jnp.where(nee_hit.kind == traverse.KIND_TRI, nee_hit.obj, 0)],
+            )
+            nee_mat = jnp.where(nee_hit.did_hit, nee_mat, 0).astype(jnp.int32)
+            nee_strength = scene.mat_emission_strength[nee_mat]
+            l_emit = scene.mat_emission[nee_mat] * nee_strength[:, None]
+            hit_emissive = nee_hit.did_hit & (nee_strength > 0.0)
+            real_l_pdf = lights.rect_light_pdf(
+                scene, li, l_dir, nee_hit.dst, hit_emissive
+            )
+
         real_l_pdf = real_l_pdf / n_lights_w  # uniform light pick
         w1 = real_l_pdf**2 / (real_l_pdf**2 + cos_pdf_at_l**2)
         w1 = jnp.where(jnp.isnan(w1), 0.0, w1)  # raytrace.comp:450
+        # Sign-preserving divide: a NEGATIVE pdf (light sampled from its
+        # back side) must yield a negative contribution that trips the
+        # bad-sample zeroing below, exactly like the reference
+        # (raytrace.comp:460,505) — clamping it positive would inject an
+        # unbounded firefly instead.
         direct_diff = l_emit * nee_k * jnp.where(
-            real_l_pdf == 0.0, 0.0, w1 / jnp.maximum(real_l_pdf, 1e-20)
+            real_l_pdf == 0.0, 0.0, w1 / real_l_pdf
         )[:, None]
         new_direct = jnp.where(is_diff[:, None], direct_diff, -1.0)
         direct = jnp.where((did & ~bad)[:, None], new_direct, carry.direct)
@@ -406,12 +455,20 @@ def trace(
             bad=bad,
             n_rays=n_rays,
         )
-        return out, None
+        ys = None
+        if with_profile:
+            ys = (
+                jnp.sum(alive.astype(jnp.float32)),
+                jnp.sum(nee_active.astype(jnp.float32)),
+            )
+        return out, ys
 
-    final, _ = jax.lax.scan(
+    final, per_bounce = jax.lax.scan(
         bounce, init, jnp.arange(cfg.bounce_limit + 1, dtype=jnp.int32)
     )
     color = jnp.where(final.bad[:, None], 0.0, final.total)
+    if with_profile:
+        return color, final.n_rays, per_bounce
     if with_stats:
         return color, final.n_rays
     return color

@@ -299,12 +299,18 @@ def _packet8_kernel(
     *scratch,  # HBM-tris variant: (tri_buf VMEM (1,128), dma_sem)
     tris_in_hbm: bool = False,
     max_recs: int = 8,
+    anyhit: bool = False,
 ):
     ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
     inv_x = 1.0 / dx
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
+    # Hoisted origin*inv products: each child plane test becomes one
+    # scalar*vector FMA (box*inv - oinv) instead of a vector sub + mul.
+    oxi = ox * inv_x
+    oyi = oy * inv_y
+    ozi = oz * inv_z
 
     dst_ref[...] = tmax_ref[...]
     prim_ref[...] = jnp.full_like(prim_ref[...], -1)
@@ -316,14 +322,19 @@ def _packet8_kernel(
     neg_y = jnp.sum(jnp.where(dy < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dy.size)
     neg_z = jnp.sum(jnp.where(dz < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dz.size)
 
-    def slab_child(row, c):
-        """Entry distances of all lanes vs child slot ``c`` (static)."""
-        t1x = (row[0, 8 * c + 0] - ox) * inv_x
-        t2x = (row[0, 8 * c + 3] - ox) * inv_x
-        t1y = (row[0, 8 * c + 1] - oy) * inv_y
-        t2y = (row[0, 8 * c + 4] - oy) * inv_y
-        t1z = (row[0, 8 * c + 2] - oz) * inv_z
-        t2z = (row[0, 8 * c + 5] - oz) * inv_z
+    def child_hit(row, c, best):
+        """Per-lane 'wants child slot c' mask (slab test vs current best).
+
+        Returns the mask directly instead of an entry-distance vector:
+        ``max(tmin,0) < best`` is equivalent to ``tmin < best`` whenever the
+        slab overlaps (tmax > 0 implies a hit needs best > 0 to matter), so
+        the clamp+select of the distance form is dead work."""
+        t1x = row[0, 8 * c + 0] * inv_x - oxi
+        t2x = row[0, 8 * c + 3] * inv_x - oxi
+        t1y = row[0, 8 * c + 1] * inv_y - oyi
+        t2y = row[0, 8 * c + 4] * inv_y - oyi
+        t1z = row[0, 8 * c + 2] * inv_z - ozi
+        t2z = row[0, 8 * c + 5] * inv_z - ozi
         tmin = jnp.maximum(
             jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
             jnp.minimum(t1z, t2z),
@@ -332,8 +343,7 @@ def _packet8_kernel(
             jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
             jnp.maximum(t1z, t2z),
         )
-        hit = (tmax >= tmin) & (tmax > 0)
-        return jnp.where(hit, jnp.maximum(tmin, 0.0), 99999999.0)
+        return (tmax >= tmin) & (tmax > 0) & (tmin < best)
 
     def _tri_test(trow, ti):
         """Dense Moller-Trumbore of one packed 16-float record vs all lanes.
@@ -356,6 +366,13 @@ def _packet8_kernel(
         ok = (t >= 0) & (u >= 0) & (v >= 0) & (w >= 0)
         ok = ok & ~((~front) & (trow[0, 12] > 0.5))
         closer = ok & (t < dst_ref[...])
+        if anyhit:
+            # Occlusion-only: ANY hit inside the lane's clip distance marks
+            # the lane occluded (-BIG), which also prunes it out of every
+            # subsequent node vote — lanes drop out at their FIRST hit
+            # instead of walking to the closest one.
+            dst_ref[...] = jnp.where(closer, -BIG, dst_ref[...])
+            return
         dst_ref[...] = jnp.where(closer, t, dst_ref[...])
         prim_ref[...] = jnp.where(closer, ti, prim_ref[...])
         u_ref[...] = jnp.where(closer, u, u_ref[...])
@@ -411,10 +428,10 @@ def _packet8_kernel(
             # reduce miscompiles in Mosaic: arith.shrsi i1 operand bug.)
             mask = jnp.int32(0)
             for k in range(4):
-                t_a = slab_child(row, 2 * k)
-                t_b = slab_child(row, 2 * k + 1)
-                h_a = jnp.where(t_a < best, jnp.int32(1), 0)
-                h_b = jnp.where(t_b < best, jnp.int32(1 << 15), 0)
+                h_a = jnp.where(child_hit(row, 2 * k, best), jnp.int32(1), 0)
+                h_b = jnp.where(
+                    child_hit(row, 2 * k + 1, best), jnp.int32(1 << 15), 0
+                )
                 word = jnp.sum(h_a + h_b)
                 any_a = jnp.where((word & 0x7FFF) > 0, jnp.int32(1), 0)
                 any_b = jnp.where((word >> 15) > 0, jnp.int32(1), 0)
@@ -449,7 +466,9 @@ def _packet8_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "packet_size", "tris_in_hbm", "max_recs"),
+    static_argnames=(
+        "interpret", "packet_size", "tris_in_hbm", "max_recs", "anyhit"
+    ),
 )
 def packet_traverse_wide(
     nodes: jnp.ndarray,  # (W,128) f32 packed wide nodes
@@ -462,6 +481,7 @@ def packet_traverse_wide(
     packet_size: int = None,
     tris_in_hbm: bool = False,
     max_recs: int = 8,
+    anyhit: bool = False,
 ):
     """BVH8 packet traversal; same contract as :func:`packet_traverse`,
     except ``prim`` returns *padded leaf-slot ids* (slot*8 + k) — map them
@@ -469,6 +489,12 @@ def packet_traverse_wide(
 
     ``tris_in_hbm``: keep the leaf-row table in HBM and DMA rows on demand —
     for scenes whose triangles don't fit VMEM (nodes still must).
+
+    ``anyhit``: occlusion query — lanes terminate at their FIRST accepted
+    hit inside ``tmax0`` instead of refining to the closest one (the TPU
+    shape of a shadow ray, replacing the reference's full closest-hit NEE
+    raycast, raytrace.comp:443).  ``dst`` returns -BIG for occluded lanes;
+    ``prim``/``u``/``v``/``front`` are meaningless.
     """
     p_size = packet_size or PACKET
     sub = 8 * (p_size // 1024)
@@ -499,7 +525,10 @@ def packet_traverse_wide(
         jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
     ]
     kernel = functools.partial(
-        _packet8_kernel, tris_in_hbm=tris_in_hbm, max_recs=max_recs
+        _packet8_kernel,
+        tris_in_hbm=tris_in_hbm,
+        max_recs=max_recs,
+        anyhit=anyhit,
     )
     scratch = [pltpu.SMEM((STACK_DEPTH * 8,), jnp.int32)]
     if tris_in_hbm:

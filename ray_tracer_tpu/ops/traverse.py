@@ -249,6 +249,60 @@ def traverse(
     return best
 
 
+def traverse_anyhit(
+    scene: CompiledScene,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    active: jnp.ndarray,
+    tmax: jnp.ndarray,
+) -> jnp.ndarray:
+    """Occlusion query: is there ANY hit strictly inside ``tmax``?
+
+    The TPU shape of a shadow ray.  On the packet-kernel path lanes
+    terminate at their first accepted hit (``anyhit=True``), which shrinks
+    the per-packet node union drastically for occluded rays; every other
+    path (gather walk / narrow kernel / sphere loop) derives occlusion from
+    the closest hit, which is equivalent (a closest hit inside ``tmax``
+    exists iff any hit does).
+
+    Returns (N,) bool; inactive lanes report unoccluded.
+    """
+    occ = jnp.zeros((origin.shape[0],), bool)
+
+    # Spheres: brute-force loop, same as traverse().
+    if scene.n_spheres > 0:
+        s_dst, _, s_hit = intersect.intersect_spheres(
+            origin, direction, scene.sphere_pos, scene.sphere_radius
+        )
+        s_dst = jnp.where(s_hit, s_dst, BIG)
+        occ = occ | (jnp.min(s_dst, axis=1) < tmax)
+
+    if scene.n_objects == 0 or scene.meta.get("n_tris", 0) == 0:
+        return occ & active
+
+    mode = _packet_mode(scene)
+    if mode != "off" and os.environ.get("RT_WIDE", "1") != "0":
+        from ..kernels import packet
+
+        tmax0 = jnp.where(active, tmax, -BIG)
+        dst, _, _, _, _ = packet.packet_traverse_wide(
+            scene.wide_packed,
+            scene.leaf_rows,
+            origin,
+            direction,
+            tmax0,
+            0,
+            interpret=(mode == "interpret"),
+            tris_in_hbm=(mode == "hbm"),
+            max_recs=4 if scene.max_leaf_tris <= 4 else 8,
+            anyhit=True,
+        )
+        return (occ | (dst < -1.0)) & active
+
+    hit = traverse(scene, origin, direction, active, tmax=tmax)
+    return (occ | (hit.kind == KIND_TRI)) & active
+
+
 def traverse_with_stats(scene, origin, direction, active):
     """Closest hit + (box_tests, tri_tests) per ray.
 

@@ -38,6 +38,28 @@ def sample_rect_light(scene, origin, r_pick, r1, r2):
     return direction, li, jnp.float32(n_lights), dist
 
 
+def rect_light_pdf_analytic(scene, li, direction, dist):
+    """Solid-angle PDF of a sampled light point at known distance ``dist``.
+
+    The unoccluded value of :func:`rect_light_pdf`: when the shadow ray
+    reaches the sampled point, the reference's raycast hits the light at
+    exactly this distance (raytrace.comp:396-402), so the pdf needs no
+    traversal at all.  A back-side sample (``cos_theta < 0``) yields a
+    NEGATIVE pdf — and hence a negative contribution that trips the
+    bad-sample zeroing — exactly like the reference's :460+:505 path.
+    """
+    cos_theta = dot(scene.light_normal[li], direction)
+    return dist * dist / (cos_theta * scene.light_area[li])
+
+
+def rect_light_emission(scene, li):
+    """Emission radiance of light ``li`` via its material slot."""
+    mat = scene.light_mat[li]
+    return (
+        scene.mat_emission[mat] * scene.mat_emission_strength[mat][:, None]
+    )
+
+
 def rect_light_pdf(scene, li, direction, hit_dst, hit_emissive):
     """Solid-angle PDF of the sampled direction given the NEE hit.
 

@@ -157,3 +157,43 @@ def test_wide_packet_hbm_tris_matches(rand):
     )
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_anyhit_matches_closest_occlusion(rand):
+    """anyhit kernel occlusion == (closest hit exists inside tmax)."""
+    scene = _random_mesh_scene(rand)
+    n = 600
+    origin = jnp.asarray(rand.uniform(-4, 4, (n, 3)).astype(np.float32))
+    d = rand.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    active = jnp.asarray(rand.uniform(size=n) < 0.8)
+    tmax = jnp.asarray(rand.uniform(0.5, 8.0, n).astype(np.float32))
+
+    os.environ["RT_PACKET"] = "0"
+    ref_hit = traverse.traverse(scene, origin, d, active, tmax=tmax)
+    ref_occ = np.asarray(ref_hit.did_hit & active)
+    os.environ["RT_PACKET"] = "interpret"
+    try:
+        got = np.asarray(traverse.traverse_anyhit(scene, origin, d, active, tmax))
+    finally:
+        os.environ["RT_PACKET"] = "0"
+    np.testing.assert_array_equal(got, ref_occ)
+
+
+def test_nee_anyhit_render_matches_closest(assets_dir):
+    """Cornell render with anyhit NEE == closest-hit NEE resolve.
+
+    The analytic light pdf equals the closest-hit pdf whenever the light
+    rect coincides with its emissive geometry (all presets), so the two
+    resolves must agree to fp tolerance."""
+    from ray_tracer_tpu import RenderConfig, render
+
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=4, bounce_limit=4)
+    scene = presets.default_scene().compile().device_put()
+    a = np.asarray(render(scene, cfg.replace(nee_anyhit=True)))
+    b = np.asarray(render(scene, cfg.replace(nee_anyhit=False)))
+    # identical except for samples whose NEE ray grazes the light edge
+    # inside the anyhit epsilon window
+    diff = np.abs(a - b)
+    assert (diff > 5e-3).mean() < 0.005, diff.max()
