@@ -72,26 +72,22 @@ def main() -> None:
     @tpu_jit(static_argnames=("cfg", "n_spp", "n_tiles"))
     def frame_with_stats(scene, rot, pos, fov, aspect, near, frame,
                          cfg, n_spp, n_tiles):
-        """Whole frame, ONE dispatch: scan tiles x spp, count traversals."""
+        """Whole frame, ONE dispatch: scan tiles, count traversals.
+
+        Tiles run the path-regenerating wavefront (all spp per tile in one
+        while_loop, wavefront.trace_wave); rays counted = traversals
+        actually performed, as before."""
 
         def one_tile(acc, t):
             ids = jnp.minimum(
                 t * tile + jnp.arange(tile, dtype=jnp.int32),
                 jnp.int32(n_pix - 1),
             )
-
-            def one_spp(acc, s):
-                rays = wavefront.raygen(
-                    rot, pos, fov, aspect, near, ids, cfg.width, cfg.height
-                )
-                c, nr = wavefront.trace(scene, rays, ids, frame, s, cfg,
-                                        with_stats=True)
-                return (acc[0] + jnp.sum(c), acc[1] + nr), None
-
-            acc, _ = jax.lax.scan(
-                one_spp, acc, jnp.arange(n_spp, dtype=jnp.int32)
+            c, nr = wavefront.trace_wave(
+                scene, rot, pos, fov, aspect, near, ids, frame,
+                jnp.int32(0), n_spp, cfg, with_stats=True,
             )
-            return acc, None
+            return (acc[0] + jnp.sum(c), acc[1] + nr), None
 
         (checksum, nr), _ = jax.lax.scan(
             one_tile,

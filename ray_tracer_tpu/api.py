@@ -63,6 +63,12 @@ def _tile_mean(
     n_samples: int,
 ):
     """Mean of ``n_samples`` traced samples for the given pixels -> (N,3)."""
+    if cfg.path_regen:
+        acc = wavefront.trace_wave(
+            scene, rot, pos, fov, aspect, near, pixel_ids, frame,
+            sample_base, n_samples, cfg,
+        )
+        return acc / n_samples
 
     def one_sample(acc, s):
         c = wavefront.render_sample(

@@ -75,34 +75,31 @@ def raygen(cam_rotation, cam_pos, fov, aspect, near, pixel_id, width, height,
     return CameraRays(origin, d)
 
 
-def _gather_hit_attrs(scene: CompiledScene, rays: CameraRays, hit: traverse.Hit):
-    """Deferred hit shading attributes: world point/normal, uv, material id.
+def _shade_fetch(scene: CompiledScene, rays: CameraRays, hit: traverse.Hit,
+                 space: str):
+    """All deferred shading attributes from ONE fat-row gather.
 
-    Sphere normals per raytrace.comp:220; triangle normals are the
-    barycentric vertex-normal lerp (quirk Q7: always smooth, :257-259),
-    face-sign flipped then pushed through the object matrix and normalized
-    (:259,318 — note the reference uses M, not inverse-transpose; replicated).
+    Returns ``(hp, normal, uv, albedo, emission, reflectance, ior, tex_id,
+    sampler)``.  Per-lane XLA gathers are the dominant per-bounce fixed cost
+    on TPU, so everything (vertex attrs AND material/instance params) comes
+    from one precompiled 32-float row — see ``CompiledScene.shade_tri`` /
+    ``shade_slot``; ``space`` picks the table matching the id space the
+    traversal reported (:func:`ray_tracer_tpu.ops.traverse.prim_space`).
+
+    Sphere normals per raytrace.comp:220 (small-table gathers, only when
+    the scene has spheres); triangle normals are the barycentric
+    vertex-normal lerp (quirk Q7: always smooth, :257-259), face-sign
+    flipped then pushed through the object matrix and normalized (:259,318
+    — note the reference uses M, not inverse-transpose; replicated).
+    No-hit lanes return finite junk; every consumer masks by ``did_hit``.
     """
-    n = hit.dst.shape[0]
     hp = rays.origin + rays.direction * hit.dst[:, None]
-
-    is_sphere = hit.kind == traverse.KIND_SPHERE
     is_tri = hit.kind == traverse.KIND_TRI
-    sphere_i = jnp.where(is_sphere, hit.prim, 0)
     tri_i = jnp.where(is_tri, hit.prim, 0)
-    obj_i = jnp.where(is_tri, hit.obj, 0)
+    table = scene.shade_slot if space == "slot" else scene.shade_tri
+    srow = table[tri_i]  # (N,32): the ONE hot gather
 
-    # Sphere attributes.
-    s_center = scene.sphere_pos[sphere_i]
-    s_n = hp - s_center
-    s_n = s_n / jnp.maximum(jnp.linalg.norm(s_n, axis=-1, keepdims=True), 1e-20)
-    s_n = s_n * jnp.where(hit.front, 1.0, -1.0)[:, None]
-
-    # Triangle attributes: ONE packed gather row per hit (vn 9 | uv 6 |
-    # degen 1) — per-lane table gathers are the dominant per-bounce cost on
-    # TPU, so the row is precomputed at scene-compile time.
     w = 1.0 - hit.u - hit.v
-    srow = scene.tri_shade[tri_i]  # (N,16)
     vn0, vn1, vn2 = srow[:, 0:3], srow[:, 3:6], srow[:, 6:9]
     n_obj = vn0 * w[:, None] + vn1 * hit.u[:, None] + vn2 * hit.v[:, None]
     n_obj = n_obj * jnp.where(hit.front, 1.0, -1.0)[:, None]
@@ -111,9 +108,9 @@ def _gather_hit_attrs(scene: CompiledScene, rays: CameraRays, hit: traverse.Hit)
         # per-hit obj_transform gather + matmul would multiply by identity.
         n_world = n_obj
     else:
-        m = scene.obj_transform[obj_i]
+        m = scene.obj_transform[jnp.where(is_tri, hit.obj, 0)]
         n_world = jnp.einsum("nij,nj->ni", m[:, :3, :3], n_obj)
-    n_world = n_world / jnp.maximum(
+    normal = n_world / jnp.maximum(
         jnp.linalg.norm(n_world, axis=-1, keepdims=True), 1e-20
     )
 
@@ -121,11 +118,54 @@ def _gather_hit_attrs(scene: CompiledScene, rays: CameraRays, hit: traverse.Hit)
     uv = uv0 * w[:, None] + uv1 * hit.u[:, None] + uv2 * hit.v[:, None]
     uv = jnp.where(srow[:, 15:16] > 0.5, 0.5, uv)  # raytrace.comp:254-256
 
-    normal = jnp.where(is_sphere[:, None], s_n, n_world)
-    mat = jnp.where(is_sphere, scene.sphere_mat[sphere_i], scene.obj_mat[obj_i])
-    mat = jnp.where(hit.did_hit, mat, 0).astype(jnp.int32)
-    sampler = scene.obj_sampler[obj_i]
-    return hp, normal, uv, mat, sampler
+    if scene.meta.get("flattened", False):
+        albedo = srow[:, 16:19]
+        emission = srow[:, 19:22]
+        reflectance = srow[:, 22]
+        ior = srow[:, 23]
+        tex_id = srow[:, 24].astype(jnp.int32)
+        sampler = srow[:, 25].astype(jnp.int32)
+    else:
+        # Forest mode (quirk Q11 compat path): instances SHARE triangles,
+        # so material/sampler belong to the instance, not the row.
+        obj_i = jnp.where(is_tri, hit.obj, 0)
+        mat = scene.obj_mat[obj_i]
+        albedo = scene.mat_albedo[mat]
+        emission = (
+            scene.mat_emission[mat]
+            * scene.mat_emission_strength[mat][:, None]
+        )
+        reflectance = scene.mat_reflectance[mat]
+        ior = scene.mat_ior[mat]
+        tex_id = scene.mat_albedo_tex[mat]
+        sampler = scene.obj_sampler[obj_i]
+
+    if scene.n_spheres > 0:
+        is_sphere = hit.kind == traverse.KIND_SPHERE
+        sphere_i = jnp.where(is_sphere, hit.prim, 0)
+        s_center = scene.sphere_pos[sphere_i]
+        s_n = hp - s_center
+        s_n = s_n / jnp.maximum(
+            jnp.linalg.norm(s_n, axis=-1, keepdims=True), 1e-20
+        )
+        s_n = s_n * jnp.where(hit.front, 1.0, -1.0)[:, None]
+        normal = jnp.where(is_sphere[:, None], s_n, normal)
+        smat = scene.sphere_mat[sphere_i]
+        sp = is_sphere[:, None]
+        albedo = jnp.where(sp, scene.mat_albedo[smat], albedo)
+        emission = jnp.where(
+            sp,
+            scene.mat_emission[smat]
+            * scene.mat_emission_strength[smat][:, None],
+            emission,
+        )
+        reflectance = jnp.where(
+            is_sphere, scene.mat_reflectance[smat], reflectance
+        )
+        ior = jnp.where(is_sphere, scene.mat_ior[smat], ior)
+        tex_id = jnp.where(is_sphere, scene.mat_albedo_tex[smat], tex_id)
+
+    return hp, normal, uv, albedo, emission, reflectance, ior, tex_id, sampler
 
 
 def _sample_texture(scene: CompiledScene, tex_id, uv, sampler):
@@ -213,7 +253,14 @@ def trace(
     # kernel launches of the naive loop and better packet occupancy.  This
     # is output-identical: the reference's 0/1-NEE accounting consumes the
     # NEE result only at the NEXT bounce anyway (raytrace.comp:500-517).
-    hit0 = traverse.traverse(scene, rays.origin, rays.direction, jnp.ones((n,), bool))
+    # The split-launch (anyhit) path skips the slot->tri/obj mapping
+    # gathers (raw=True) and shades from the matching fat-row table.
+    use_raw = bool(cfg.nee_anyhit)
+    space = traverse.prim_space(scene) if use_raw else "tri"
+    hit0 = traverse.traverse(
+        scene, rays.origin, rays.direction, jnp.ones((n,), bool),
+        raw=use_raw,
+    )
 
     init = Carry(
         origin=rays.origin,
@@ -231,17 +278,13 @@ def trace(
         hit = carry.hit
         did = carry.alive & hit.did_hit
 
-        hp, normal, uv, mat, sampler = _gather_hit_attrs(
-            scene, CameraRays(carry.origin, carry.direction), hit
+        (hp, normal, uv, albedo, emission, reflectance, ior, tex_id,
+         sampler) = _shade_fetch(
+            scene, CameraRays(carry.origin, carry.direction), hit, space
         )
-        albedo = scene.mat_albedo[mat]
         if cfg.enable_textures and scene.meta.get("n_textures", 0) > 0:
-            tex_id = scene.mat_albedo_tex[mat]
             tex_rgb = _sample_texture(scene, tex_id, uv, sampler)
             albedo = jnp.where((tex_id >= 0)[:, None], albedo * tex_rgb, albedo)
-        emission = scene.mat_emission[mat] * scene.mat_emission_strength[mat][:, None]
-        reflectance = scene.mat_reflectance[mat]
-        ior = scene.mat_ior[mat]
 
         # ---- pending light resolve (raytrace.comp:500-505)
         was_delta = carry.direct[:, 0] == -1.0
@@ -340,7 +383,9 @@ def trace(
             # entirely.  ``direct`` still becomes 0 (not the -1 delta
             # sentinel) after diffuse bounces, preserving the reference's
             # 0/1-NEE emission suppression (raytrace.comp:500-505).
-            hit_next = traverse.traverse(scene, new_origin, new_dir, alive)
+            hit_next = traverse.traverse(
+                scene, new_origin, new_dir, alive, raw=use_raw
+            )
             nee_active = jnp.zeros_like(nee_active)
             l_emit = f3(0.0)
             real_l_pdf = jnp.zeros((n,), jnp.float32)
@@ -355,7 +400,9 @@ def trace(
             # here, where the reference would credit ITS emission instead;
             # scenes whose only emitters are the light rects (all presets,
             # and everything the reference ships) are unaffected.
-            hit_next = traverse.traverse(scene, new_origin, new_dir, alive)
+            hit_next = traverse.traverse(
+                scene, new_origin, new_dir, alive, raw=use_raw
+            )
             occluded = traverse.traverse_anyhit(
                 scene, nee_origin, l_dir, nee_active,
                 tmax=l_dist * (1.0 - 1e-3),
@@ -472,6 +519,304 @@ def trace(
     if with_stats:
         return color, final.n_rays
     return color
+
+
+def trace_wave(
+    scene: CompiledScene,
+    rot,
+    pos,
+    fov,
+    aspect,
+    near,
+    pixel_id: jnp.ndarray,
+    frame: jnp.ndarray,
+    sample_base: jnp.ndarray,
+    n_spp: int,
+    cfg: RenderConfig,
+    with_stats: bool = False,
+):
+    """All ``n_spp`` samples of each pixel, with PATH REGENERATION.
+
+    Radiometrically identical to summing :func:`render_sample` over the
+    sample index (identical counter-based RNG streams and per-lane state
+    machine; per-lane traversal results are independent of packet
+    composition), but scheduled as ONE ``lax.while_loop`` in which a lane
+    whose path terminates immediately begins its pixel's next sample.
+
+    Why: with a static bounce scan the wavefront decays with bounce depth
+    — measured 26% lane occupancy on sponza_proxy @1080p (74% of every
+    launch + shading pass wasted on dead lanes).  Regeneration keeps lanes
+    ~full: the per-round cost is paid ~E[path length]*spp times instead of
+    (bounce_limit+1)*spp times.  This is the TPU answer to the ray
+    compaction the reference's planned-but-absent wavefront mode would
+    have used (README.md:13-16): no permutes (XLA scatter/gather measured
+    as a net loss on v5e), just per-lane rescheduling.
+
+    Returns the per-pixel color SUM over samples (N,3) — divide by
+    ``n_spp`` for the mean — plus the traversal-event count when
+    ``with_stats``.
+    """
+    n = pixel_id.shape[0]
+    f3 = lambda v: jnp.full((n, 3), v, jnp.float32)
+
+    def primary_rays(s):
+        """Camera rays for per-lane sample indices ``s`` (N,)."""
+        jitter = None
+        if cfg.aa_jitter:
+            j2 = rng.uniforms(cfg.seed ^ 0xA11A5, pixel_id, frame, s, 999, 2)
+            jitter = j2 - 0.5
+        return raygen(
+            rot, pos, fov, aspect, near, pixel_id, cfg.width, cfg.height,
+            jitter,
+        )
+
+    class Wave(NamedTuple):
+        origin: jnp.ndarray  # (N,3) ray of the PENDING hit
+        direction: jnp.ndarray
+        hit: traverse.Hit
+        atten: jnp.ndarray
+        total: jnp.ndarray
+        direct: jnp.ndarray
+        bad: jnp.ndarray
+        alive: jnp.ndarray  # (N,) lane has a pending hit to shade
+        j: jnp.ndarray  # (N,) i32 bounce index of the pending hit
+        s: jnp.ndarray  # (N,) i32 sample index (== n_spp -> retired)
+        acc: jnp.ndarray  # (N,3) banked color sum of completed samples
+        n_rays: jnp.ndarray
+
+    use_raw = bool(cfg.nee_anyhit)
+    space = traverse.prim_space(scene) if use_raw else "tri"
+    s0 = jnp.zeros((n,), jnp.int32)
+    rays0 = primary_rays(sample_base + s0)
+    hit0 = traverse.traverse(
+        scene, rays0.origin, rays0.direction, jnp.ones((n,), bool),
+        raw=use_raw,
+    )
+    init = Wave(
+        origin=rays0.origin,
+        direction=rays0.direction,
+        hit=hit0,
+        atten=f3(1.0),
+        total=f3(0.0),
+        direct=f3(0.0),
+        bad=jnp.zeros((n,), bool),
+        alive=jnp.ones((n,), bool),
+        j=jnp.zeros((n,), jnp.int32),
+        s=s0,
+        acc=f3(0.0),
+        n_rays=jnp.zeros((), jnp.float32) + n,
+    )
+
+    def cond(w: Wave):
+        return jnp.any(w.alive)
+
+    def round_(w: Wave) -> Wave:
+        hit = w.hit
+        j = w.j
+        sample = sample_base + w.s
+        did = w.alive & hit.did_hit
+
+        (hp, normal, uv, albedo, emission, reflectance, ior, tex_id,
+         sampler) = _shade_fetch(
+            scene, CameraRays(w.origin, w.direction), hit, space
+        )
+        if cfg.enable_textures and scene.meta.get("n_textures", 0) > 0:
+            tex_rgb = _sample_texture(scene, tex_id, uv, sampler)
+            albedo = jnp.where(
+                (tex_id >= 0)[:, None], albedo * tex_rgb, albedo
+            )
+
+        # ---- pending light resolve (raytrace.comp:500-505)
+        was_delta = w.direct[:, 0] == -1.0
+        final_light = jnp.where(was_delta[:, None], emission, w.direct)
+        contrib = (
+            final_light + jnp.where(j == 0, 1.0, 0.0)[:, None] * emission
+        )
+        total = jnp.where(did[:, None], w.total + contrib * w.atten, w.total)
+        bad = w.bad | (
+            did
+            & (
+                jnp.any(jnp.isnan(total), axis=-1)
+                | jnp.any(total < 0, axis=-1)
+            )
+        )
+
+        # ---- escape: environment light (raytrace.comp:531-534)
+        esc = w.alive & ~hit.did_hit
+        env_l = env_ops.environment_light(scene, w.direction)
+        total = jnp.where(esc[:, None], total + w.atten * env_l, total)
+
+        shaded = did & ~bad
+
+        # ---- BSDF lobes (branchless; raytrace.comp:507-515)
+        u6 = rng.uniforms(cfg.seed, pixel_id, frame, sample, j, 7)
+        is_spec = reflectance != 0.0
+        is_diel = ~is_spec & (ior != -1.0)
+        is_diff = ~is_spec & ~is_diel
+
+        nee_origin = hp + normal * 0.01  # raytrace.comp:432
+        l_dir, li, n_lights_w, l_dist = lights.sample_rect_light(
+            scene, nee_origin, u6[:, 0], u6[:, 1], u6[:, 2]
+        )
+        cos_pdf_at_l = bsdf.cosine_hemisphere_pdf(normal, l_dir)
+
+        cos_dir = bsdf.cosine_hemisphere_dir(normal, u6[:, 3], u6[:, 4])
+        real_cos_pdf = bsdf.cosine_hemisphere_pdf(normal, cos_dir)
+        rad_diff = (
+            albedo
+            * INV_PI
+            * (dot(normal, cos_dir) / jnp.maximum(real_cos_pdf, 1e-20))[
+                :, None
+            ]
+        )
+        nee_k = albedo * (INV_PI * jnp.maximum(0.0, dot(normal, l_dir)))[
+            :, None
+        ]
+
+        dir_spec = intersect.reflect(w.direction, normal)
+        ior_eff = jnp.where(hit.front, 1.0 / ior, ior)
+        cosine = dot(-w.direction, normal)
+        sine = jnp.sqrt(jnp.maximum(0.0, 1.0 - cosine * cosine))
+        solution = (ior_eff * sine > 1.0) | (
+            bsdf.schlick(cosine, ior_eff) > u6[:, 5]
+        )
+        dir_diel = jnp.where(
+            solution[:, None],
+            dir_spec,
+            intersect.refract(w.direction, normal, ior_eff),
+        )
+        sign_diel = jnp.where(
+            solution, 1.0, jnp.sign(dot(normal, w.direction))
+        )
+
+        new_dir = jnp.where(
+            is_spec[:, None],
+            dir_spec,
+            jnp.where(is_diel[:, None], dir_diel, cos_dir),
+        )
+        radiance = jnp.where(is_diff[:, None], rad_diff, 1.0)
+        origin_sign = jnp.where(is_diel, sign_diel, 1.0)
+        atten = w.atten * jnp.where(shaded[:, None], radiance, 1.0)
+
+        # ---- russian roulette (raytrace.comp:519-524)
+        rr = jnp.minimum(jnp.max(atten, axis=-1), cfg.rr_clamp)
+        rr = jnp.where(j <= cfg.rr_start_bounce, 1.0, rr)
+        killed = u6[:, 6] > rr
+        atten = atten / jnp.maximum(rr, 1e-20)[:, None]
+
+        continuing = shaded & ~killed & (j < cfg.bounce_limit)
+        nee_active = continuing & is_diff
+
+        # ---- sample completion + regeneration
+        path_ends = w.alive & ~continuing
+        sample_color = jnp.where(bad[:, None], 0.0, total)
+        acc = w.acc + jnp.where(path_ends[:, None], sample_color, 0.0)
+        s_new = w.s + path_ends.astype(jnp.int32)
+        regen = path_ends & (s_new < n_spp)
+
+        prim = primary_rays(sample_base + s_new)
+        bounce_origin = hp + normal * (origin_sign * 1e-5)[:, None]
+        new_origin = jnp.where(
+            continuing[:, None],
+            bounce_origin,
+            jnp.where(regen[:, None], prim.origin, w.origin),
+        )
+        new_dir = jnp.where(
+            continuing[:, None],
+            new_dir,
+            jnp.where(regen[:, None], prim.direction, w.direction),
+        )
+        alive = continuing | regen
+        j_new = jnp.where(continuing, j + 1, 0)
+        # fresh-path state for regenerated lanes
+        total = jnp.where(path_ends[:, None], 0.0, total)
+        atten = jnp.where(path_ends[:, None], 1.0, atten)
+        bad = jnp.where(path_ends, False, bad)
+
+        # ---- traverse the merged wavefront (bounce ++ regenerated primary)
+        hit_next = traverse.traverse(
+                scene, new_origin, new_dir, alive, raw=use_raw
+            )
+
+        # ---- NEE shadow query for continuing diffuse lanes
+        if cfg.nee_anyhit and scene.n_lights == 0:
+            nee_active = jnp.zeros_like(nee_active)
+            l_emit = f3(0.0)
+            real_l_pdf = jnp.zeros((n,), jnp.float32)
+        elif cfg.nee_anyhit:
+            occluded = traverse.traverse_anyhit(
+                scene, nee_origin, l_dir, nee_active,
+                tmax=l_dist * (1.0 - 1e-3),
+            )
+            reached = nee_active & ~occluded
+            l_emit = lights.rect_light_emission(scene, li)
+            real_l_pdf = jnp.where(
+                reached,
+                lights.rect_light_pdf_analytic(scene, li, l_dir, l_dist),
+                0.0,
+            )
+        else:
+            nee_hit = traverse.traverse(
+                scene, nee_origin, l_dir, nee_active,
+                tmax=l_dist * 1.002 + 1e-3,
+            )
+            nee_mat = jnp.where(
+                nee_hit.kind == traverse.KIND_SPHERE,
+                scene.sphere_mat[
+                    jnp.where(
+                        nee_hit.kind == traverse.KIND_SPHERE, nee_hit.prim, 0
+                    )
+                ],
+                scene.obj_mat[
+                    jnp.where(
+                        nee_hit.kind == traverse.KIND_TRI, nee_hit.obj, 0
+                    )
+                ],
+            )
+            nee_mat = jnp.where(nee_hit.did_hit, nee_mat, 0).astype(
+                jnp.int32
+            )
+            nee_strength = scene.mat_emission_strength[nee_mat]
+            l_emit = scene.mat_emission[nee_mat] * nee_strength[:, None]
+            hit_emissive = nee_hit.did_hit & (nee_strength > 0.0)
+            real_l_pdf = lights.rect_light_pdf(
+                scene, li, l_dir, nee_hit.dst, hit_emissive
+            )
+
+        real_l_pdf = real_l_pdf / n_lights_w
+        w1 = real_l_pdf**2 / (real_l_pdf**2 + cos_pdf_at_l**2)
+        w1 = jnp.where(jnp.isnan(w1), 0.0, w1)
+        direct_diff = l_emit * nee_k * jnp.where(
+            real_l_pdf == 0.0, 0.0, w1 / real_l_pdf
+        )[:, None]
+        new_direct = jnp.where(is_diff[:, None], direct_diff, -1.0)
+        direct = jnp.where(shaded[:, None], new_direct, w.direct)
+        direct = jnp.where(path_ends[:, None], 0.0, direct)
+
+        n_rays = (
+            w.n_rays
+            + jnp.sum(alive.astype(jnp.float32))
+            + jnp.sum(nee_active.astype(jnp.float32))
+        )
+        return Wave(
+            origin=new_origin,
+            direction=new_dir,
+            hit=hit_next,
+            atten=atten,
+            total=total,
+            direct=direct,
+            bad=bad,
+            alive=alive,
+            j=j_new,
+            s=jnp.where(path_ends, s_new, w.s),
+            acc=acc,
+            n_rays=n_rays,
+        )
+
+    final = jax.lax.while_loop(cond, round_, init)
+    if with_stats:
+        return final.acc, final.n_rays
+    return final.acc
 
 
 def render_sample(

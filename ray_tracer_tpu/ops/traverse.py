@@ -108,6 +108,18 @@ def _transform_dir(inv_m, d):
     return jnp.einsum("nij,nj->ni", inv_m[:, :3, :3], d)
 
 
+def prim_space(scene: CompiledScene) -> str:
+    """Which id space ``traverse(raw=True)`` reports triangle hits in.
+
+    'slot': padded leaf-slot ids (wide packet kernel) — index
+    ``scene.shade_slot``; 'tri': global triangle ids — ``scene.shade_tri``.
+    Static at trace time (depends on env flags + scene meta only).
+    """
+    if _packet_mode(scene) != "off" and os.environ.get("RT_WIDE", "1") != "0":
+        return "slot"
+    return "tri"
+
+
 def traverse(
     scene: CompiledScene,
     origin: jnp.ndarray,
@@ -115,6 +127,7 @@ def traverse(
     active: jnp.ndarray,
     max_steps: int = 4096,
     tmax: jnp.ndarray = None,
+    raw: bool = False,
 ) -> Hit:
     """Closest hit for a batch of world-space rays.
 
@@ -125,6 +138,12 @@ def traverse(
     not found (lanes report no-hit; ``dst`` stays at the initial bound).
     Used to clip NEE shadow rays at the sampled light distance, which
     prunes every BVH subtree beyond the light.
+
+    ``raw``: skip the leaf-slot -> triangle-id and triangle -> instance
+    mapping gathers on the packet path; ``prim`` is then in
+    :func:`prim_space` space and ``obj`` is unset (0) for triangle hits —
+    callers fetch both from the fat shading row instead (2 fewer per-lane
+    gathers per traversal on the hot path).
     """
     n = origin.shape[0]
     n_nodes = scene.bvh_index.shape[0]
@@ -186,9 +205,11 @@ def traverse(
                 max_recs=4 if scene.max_leaf_tris <= 4 else 8,
             )
             # kernel reports padded leaf-slot ids; map to global tri ids
-            prim = jnp.where(
-                prim >= 0, scene.leaf_map[jnp.maximum(prim, 0)], prim
-            )
+            # (hot callers pass raw=True and use shade_slot rows instead)
+            if not raw:
+                prim = jnp.where(
+                    prim >= 0, scene.leaf_map[jnp.maximum(prim, 0)], prim
+                )
         else:
             meta = jnp.stack(
                 [
@@ -211,7 +232,10 @@ def traverse(
                 interpret=(mode == "interpret"),
             )
         tri_hit = prim >= 0
-        owner = scene.tri_obj[jnp.where(tri_hit, prim, 0)]
+        if raw:
+            owner = jnp.zeros_like(prim)
+        else:
+            owner = scene.tri_obj[jnp.where(tri_hit, prim, 0)]
         return Hit(
             dst=jnp.where(tri_hit, dst, best.dst),
             kind=jnp.where(tri_hit, KIND_TRI, best.kind),

@@ -25,13 +25,24 @@ def sample_rect_light(scene, origin, r_pick, r1, r2):
     into the estimator); with a single light this is exactly the reference.
     """
     n_lights = scene.n_lights
-    li = jnp.minimum((r_pick * n_lights).astype(jnp.int32), n_lights - 1)
-    corner = scene.light_corner[li]
-    point = (
-        corner
-        + scene.light_edge_u[li] * r1[:, None]
-        + scene.light_edge_v[li] * r2[:, None]
-    )
+    if n_lights <= 1:
+        # Single light (the reference's only case, quirk Q3): static row-0
+        # slices broadcast across lanes — no per-lane table gathers.
+        li = jnp.zeros(r_pick.shape, jnp.int32)
+        corner = scene.light_corner[0]
+        point = (
+            corner
+            + scene.light_edge_u[0] * r1[:, None]
+            + scene.light_edge_v[0] * r2[:, None]
+        )
+    else:
+        li = jnp.minimum((r_pick * n_lights).astype(jnp.int32), n_lights - 1)
+        corner = scene.light_corner[li]
+        point = (
+            corner
+            + scene.light_edge_u[li] * r1[:, None]
+            + scene.light_edge_v[li] * r2[:, None]
+        )
     vec = point - origin
     dist = jnp.linalg.norm(vec, axis=-1)
     direction = vec / jnp.maximum(dist, 1e-20)[:, None]
@@ -48,12 +59,21 @@ def rect_light_pdf_analytic(scene, li, direction, dist):
     NEGATIVE pdf — and hence a negative contribution that trips the
     bad-sample zeroing — exactly like the reference's :460+:505 path.
     """
-    cos_theta = dot(scene.light_normal[li], direction)
-    return dist * dist / (cos_theta * scene.light_area[li])
+    if scene.n_lights <= 1:
+        normal, area = scene.light_normal[0], scene.light_area[0]
+    else:
+        normal, area = scene.light_normal[li], scene.light_area[li]
+    cos_theta = dot(normal, direction)
+    return dist * dist / (cos_theta * area)
 
 
 def rect_light_emission(scene, li):
     """Emission radiance of light ``li`` via its material slot."""
+    if scene.n_lights <= 1:
+        mat = scene.light_mat[0]
+        return (
+            scene.mat_emission[mat] * scene.mat_emission_strength[mat]
+        )[None, :]
     mat = scene.light_mat[li]
     return (
         scene.mat_emission[mat] * scene.mat_emission_strength[mat][:, None]

@@ -159,6 +159,14 @@ class CompiledScene:
     # uv0|uv1|uv2 (6) | degenerate-uv flag (1).  The degenerate test
     # (raytrace.comp:254-256) is per-triangle, so it is precomputed here.
     tri_shade: Any  # (T,16) f32
+    # Fat shading rows: ONE 32-float gather per bounce replaces the
+    # tri_shade + material-table + instance-table gathers (XLA per-lane
+    # gathers at ~30-60ns/lane dominate the per-bounce fixed cost on TPU).
+    # Layout: 0-8 vn | 9-14 uv | 15 degen | 16-18 albedo |
+    # 19-21 emission*strength | 22 reflectance | 23 ior | 24 albedo_tex |
+    # 25 sampler | 26 material id | 27 instance id | 28 global tri id.
+    shade_tri: Any  # (T,32) f32, indexed by global tri id (gather walk)
+    shade_slot: Any  # (L*8,32) f32, indexed by padded leaf slot (packet)
 
     # Instances.
     obj_transform: Any  # (O,4,4) f32
