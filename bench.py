@@ -41,11 +41,12 @@ def main() -> None:
     spp = int(os.environ.get("RT_BENCH_SPP", 2))
     scene_name = os.environ.get("RT_BENCH_SCENE", "sponza_proxy")
 
-    # Smaller tiles bound XLA's scoped-VMEM staging of the big-scene pallas
-    # launches (see utils/jitting.py).
+    # 2^18-ray tiles measured best with the binned+drained wavefront (row
+    # gathers amortize with size); still bounded for XLA's scoped-VMEM
+    # staging of the pallas launches (see utils/jitting.py).
     cfg = RenderConfig(
         width=width, height=height, bounce_limit=8,
-        max_rays_per_batch=1 << 16,
+        max_rays_per_batch=1 << int(os.environ.get("RT_BENCH_TILE_LOG2", 18)),
     )
     if scene_name == "sponza_proxy":
         # BASELINE config 5 workload: Sponza-scale (~260k tris); the real

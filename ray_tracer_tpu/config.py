@@ -66,6 +66,17 @@ class RenderConfig:
     # Radiometrically identical (same counter-based RNG streams).  False
     # restores the static scan (the reference-shaped schedule).
     path_regen: bool = True
+    # Ray binning (path_regen only): each wavefront round sorts lanes by
+    # (direction octant, 5-bit-morton of origin) before traversal, so each
+    # traversal packet shares direction signs and an origin cell — the
+    # in-framework answer to bounce-ray incoherence (packet node-union
+    # blowup, BENCH_NOTES round 1 finding 5).  The whole per-lane state
+    # rides ONE packed (N,40) row-gather; per-lane results are exactly
+    # permutation-invariant (counter-based RNG keyed on pixel/sample/
+    # bounce), so images are bit-identical to bin_rays=False.  None (auto)
+    # = on when the scene runs the packet kernel (off on the CPU oracle
+    # path, where the gather walk has no packet-union cost).
+    bin_rays: "bool | None" = None
 
     def replace(self, **kw) -> "RenderConfig":
         return replace(self, **kw)

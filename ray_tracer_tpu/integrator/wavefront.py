@@ -521,6 +521,35 @@ def trace(
     return color
 
 
+def _bin_key(scene: CompiledScene, origin, direction, alive):
+    """Traversal-coherence sort key: (direction octant, 5-bit morton cell).
+
+    Rays sharing a key traverse near-identical BVH subtrees, so sorting by
+    it shrinks each packet's node union (the round-1 bounce bottleneck,
+    BENCH_NOTES finding 5).  Dead lanes key to the end so they cluster
+    into all-dead packets that exit at the root (~free).  Bounds come from
+    the flattened BVH root box; forest scenes degrade to octant-only.
+    """
+    oct_ = (
+        (direction[:, 0] < 0).astype(jnp.int32)
+        + 2 * (direction[:, 1] < 0).astype(jnp.int32)
+        + 4 * (direction[:, 2] < 0).astype(jnp.int32)
+    )
+    key = oct_ << 15
+    if scene.meta.get("flattened", False) and scene.meta.get("n_tris", 0):
+        root = scene.bvh_packed[scene.obj_bvh_root[0]]
+        mn, mx = root[0:3], root[3:6]
+        cell = jnp.clip(
+            ((origin - mn) / jnp.maximum(mx - mn, 1e-6)) * 32.0, 0.0, 31.0
+        ).astype(jnp.int32)
+        morton = jnp.zeros_like(oct_)
+        for b in range(5):
+            for ax in range(3):
+                morton = morton | (((cell[:, ax] >> b) & 1) << (3 * b + ax))
+        key = key | morton
+    return jnp.where(alive, key, jnp.int32(1) << 30)
+
+
 def trace_wave(
     scene: CompiledScene,
     rot,
@@ -559,14 +588,20 @@ def trace_wave(
     n = pixel_id.shape[0]
     f3 = lambda v: jnp.full((n, 3), v, jnp.float32)
 
-    def primary_rays(s):
-        """Camera rays for per-lane sample indices ``s`` (N,)."""
+    do_bin = cfg.bin_rays
+    if do_bin is None:
+        # auto: bin when the packet kernel runs (its node-union cost is
+        # what binning shrinks); the CPU gather walk gains nothing.
+        do_bin = traverse._packet_mode(scene) != "off"
+
+    def primary_rays(pix, s):
+        """Camera rays for per-lane (pixel, sample index) pairs (N,)."""
         jitter = None
         if cfg.aa_jitter:
-            j2 = rng.uniforms(cfg.seed ^ 0xA11A5, pixel_id, frame, s, 999, 2)
+            j2 = rng.uniforms(cfg.seed ^ 0xA11A5, pix, frame, s, 999, 2)
             jitter = j2 - 0.5
         return raygen(
-            rot, pos, fov, aspect, near, pixel_id, cfg.width, cfg.height,
+            rot, pos, fov, aspect, near, pix, cfg.width, cfg.height,
             jitter,
         )
 
@@ -582,12 +617,15 @@ def trace_wave(
         j: jnp.ndarray  # (N,) i32 bounce index of the pending hit
         s: jnp.ndarray  # (N,) i32 sample index (== n_spp -> retired)
         acc: jnp.ndarray  # (N,3) banked color sum of completed samples
+        pix: jnp.ndarray  # (N,) i32 pixel id of the lane (rides permutes)
+        slot: jnp.ndarray  # (N,) i32 original lane (output position)
         n_rays: jnp.ndarray
 
     use_raw = bool(cfg.nee_anyhit)
     space = traverse.prim_space(scene) if use_raw else "tri"
     s0 = jnp.zeros((n,), jnp.int32)
-    rays0 = primary_rays(sample_base + s0)
+    pix0 = jnp.asarray(pixel_id, jnp.int32)
+    rays0 = primary_rays(pix0, sample_base + s0)
     hit0 = traverse.traverse(
         scene, rays0.origin, rays0.direction, jnp.ones((n,), bool),
         raw=use_raw,
@@ -604,6 +642,8 @@ def trace_wave(
         j=jnp.zeros((n,), jnp.int32),
         s=s0,
         acc=f3(0.0),
+        pix=pix0,
+        slot=jnp.arange(n, dtype=jnp.int32),
         n_rays=jnp.zeros((), jnp.float32) + n,
     )
 
@@ -649,7 +689,7 @@ def trace_wave(
         shaded = did & ~bad
 
         # ---- BSDF lobes (branchless; raytrace.comp:507-515)
-        u6 = rng.uniforms(cfg.seed, pixel_id, frame, sample, j, 7)
+        u6 = rng.uniforms(cfg.seed, w.pix, frame, sample, j, 7)
         is_spec = reflectance != 0.0
         is_diel = ~is_spec & (ior != -1.0)
         is_diff = ~is_spec & ~is_diel
@@ -714,7 +754,7 @@ def trace_wave(
         s_new = w.s + path_ends.astype(jnp.int32)
         regen = path_ends & (s_new < n_spp)
 
-        prim = primary_rays(sample_base + s_new)
+        prim = primary_rays(w.pix, sample_base + s_new)
         bounce_origin = hp + normal * (origin_sign * 1e-5)[:, None]
         new_origin = jnp.where(
             continuing[:, None],
@@ -733,6 +773,48 @@ def trace_wave(
         atten = jnp.where(path_ends[:, None], 1.0, atten)
         bad = jnp.where(path_ends, False, bad)
 
+        # ---- post-NEE ``direct`` ingredients (resolved after traversal)
+        fresh_direct = shaded & ~path_ends  # lanes taking this round's NEE
+        direct_base = jnp.where(path_ends[:, None], 0.0, w.direct)
+        pix, slot, s_cur, j_cur = w.pix, w.slot, s_new, j_new
+
+        if do_bin:
+            # ---- coherence binning: permute every live per-lane value so
+            # traversal packets share (octant, origin cell).  One packed
+            # (N, 40) row-gather moves the whole state; per-lane results
+            # are permutation-invariant, so images are bit-identical.
+            key = _bin_key(scene, new_origin, new_dir, alive)
+            order = jnp.argsort(key)
+            fi = lambda x: x.astype(jnp.float32)[:, None]
+            packed = jnp.concatenate(
+                [
+                    new_origin, new_dir, atten, total, acc, direct_base,
+                    nee_origin, l_dir, nee_k,  # 27 vector slots
+                    fi(alive), fi(bad), fi(j_cur), fi(s_cur), fi(pix),
+                    fi(slot), fi(fresh_direct), fi(is_diff),
+                    cos_pdf_at_l[:, None], l_dist[:, None],
+                    fi(li), fi(nee_active),
+                ],
+                axis=1,
+            )
+            packed = packed[order]
+            v3 = lambda k: packed[:, 3 * k : 3 * k + 3]
+            (new_origin, new_dir, atten, total, acc, direct_base,
+             nee_origin, l_dir, nee_k) = (v3(k) for k in range(9))
+            col = lambda k: packed[:, 27 + k]
+            alive = col(0) > 0.5
+            bad = col(1) > 0.5
+            j_cur = col(2).astype(jnp.int32)
+            s_cur = col(3).astype(jnp.int32)
+            pix = col(4).astype(jnp.int32)
+            slot = col(5).astype(jnp.int32)
+            fresh_direct = col(6) > 0.5
+            is_diff = col(7) > 0.5
+            cos_pdf_at_l = col(8)
+            l_dist = col(9)
+            li = col(10).astype(jnp.int32)
+            nee_active = col(11) > 0.5
+
         # ---- traverse the merged wavefront (bounce ++ regenerated primary)
         hit_next = traverse.traverse(
                 scene, new_origin, new_dir, alive, raw=use_raw
@@ -741,8 +823,8 @@ def trace_wave(
         # ---- NEE shadow query for continuing diffuse lanes
         if cfg.nee_anyhit and scene.n_lights == 0:
             nee_active = jnp.zeros_like(nee_active)
-            l_emit = f3(0.0)
-            real_l_pdf = jnp.zeros((n,), jnp.float32)
+            l_emit = jnp.zeros_like(nee_k)
+            real_l_pdf = jnp.zeros_like(l_dist)
         elif cfg.nee_anyhit:
             occluded = traverse.traverse_anyhit(
                 scene, nee_origin, l_dir, nee_active,
@@ -790,8 +872,7 @@ def trace_wave(
             real_l_pdf == 0.0, 0.0, w1 / real_l_pdf
         )[:, None]
         new_direct = jnp.where(is_diff[:, None], direct_diff, -1.0)
-        direct = jnp.where(shaded[:, None], new_direct, w.direct)
-        direct = jnp.where(path_ends[:, None], 0.0, direct)
+        direct = jnp.where(fresh_direct[:, None], new_direct, direct_base)
 
         n_rays = (
             w.n_rays
@@ -807,16 +888,60 @@ def trace_wave(
             direct=direct,
             bad=bad,
             alive=alive,
-            j=j_new,
-            s=jnp.where(path_ends, s_new, w.s),
+            j=j_cur,
+            s=s_cur,
             acc=acc,
+            pix=pix,
+            slot=slot,
             n_rays=n_rays,
         )
 
-    final = jax.lax.while_loop(cond, round_, init)
+    if not do_bin:
+        final = jax.lax.while_loop(cond, round_, init)
+        if with_stats:
+            return final.acc, final.n_rays
+        return final.acc
+
+    # ---- multi-phase drain (binned path only).  The while_loop runs at
+    # full width until the deepest path retires, so tail rounds pay whole-
+    # tile gathers/sorts/traversals at a few percent occupancy.  The bin
+    # key orders dead lanes last, so once the alive count fits in width/4
+    # the sorted wavefront's live lanes form a PREFIX: bank the retired
+    # suffix and keep while-looping on a statically 4x-narrower slice.
+    widths = [n]
+    while widths[-1] % 4 == 0 and widths[-1] // 4 >= 8192:
+        widths.append(widths[-1] // 4)
+
+    def slice_wave(w: Wave, m: int) -> Wave:
+        f = lambda x: x[:m] if getattr(x, "ndim", 0) >= 1 else x
+        return Wave(
+            origin=f(w.origin), direction=f(w.direction),
+            hit=jax.tree.map(f, w.hit),
+            atten=f(w.atten), total=f(w.total), direct=f(w.direct),
+            bad=f(w.bad), alive=f(w.alive), j=f(w.j), s=f(w.s),
+            acc=f(w.acc), pix=f(w.pix), slot=f(w.slot), n_rays=w.n_rays,
+        )
+
+    banked_acc, banked_slot = [], []
+    w = init
+    for i, width in enumerate(widths):
+        nxt = widths[i + 1] if i + 1 < len(widths) else 0
+        w = jax.lax.while_loop(
+            lambda w, lim=nxt: jnp.sum(w.alive) > lim, round_, w
+        )
+        if nxt:
+            banked_acc.append(w.acc[nxt:])
+            banked_slot.append(w.slot[nxt:])
+            w = slice_wave(w, nxt)
+    banked_acc.append(w.acc)
+    banked_slot.append(w.slot)
+    # restore positional order (lane i of the output = pixel_id[i])
+    acc = jnp.zeros((n, 3), jnp.float32).at[
+        jnp.concatenate(banked_slot)
+    ].set(jnp.concatenate(banked_acc), unique_indices=True)
     if with_stats:
-        return final.acc, final.n_rays
-    return final.acc
+        return acc, w.n_rays
+    return acc
 
 
 def render_sample(

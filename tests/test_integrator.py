@@ -204,3 +204,34 @@ def test_forest_mode_render_matches_flattened(cornell):
     a = np.asarray(render(cornell, CFG))
     b = np.asarray(render(forest_scene, CFG))
     np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_binned_wavefront_bit_identical(cornell):
+    """bin_rays permutes lanes but never changes any per-lane value.
+
+    Counter-based RNG keyed on (pixel, sample, bounce) makes every sample
+    permutation-invariant, so the binned + multi-phase-drain schedule must
+    be BIT-identical to the plain path-regen wavefront.  Width 256*256
+    also exercises the drain slicing (widths 65536 -> 16384).
+    """
+    import jax
+
+    from ray_tracer_tpu.api import _camera_arrays, scene_camera
+
+    cfg = RenderConfig(width=256, height=256)
+    cam = scene_camera(cornell)
+    rot, pos, fov, aspect, near = _camera_arrays(cam, cfg)
+    ids = jnp.arange(256 * 256, dtype=jnp.int32)
+
+    def run(bin_):
+        c = cfg.replace(bin_rays=bin_)
+        return jax.jit(
+            lambda: wavefront.trace_wave(
+                cornell, rot, pos, fov, aspect, near, ids, jnp.int32(0),
+                jnp.int32(0), 1, c,
+            )
+        )()
+
+    a = np.asarray(run(False))
+    b = np.asarray(run(True))
+    assert np.array_equal(a, b)
