@@ -289,6 +289,7 @@ def packet_traverse(
 
 def _packet8_kernel(
     nodes_ref,  # (W,128) f32 packed wide nodes (see layout above)
+    meta_ref,  # SMEM (W*12,) i32: per node codes[0:8] + axis[8] + pad
     tris_ref,  # (L,128) f32 leaf rows, VMEM or HBM
     ox_ref, oy_ref, oz_ref,
     dx_ref, dy_ref, dz_ref,
@@ -296,10 +297,12 @@ def _packet8_kernel(
     entry_ref,  # (1,1) i32 SMEM: entry code (wide root id, or leaf code)
     dst_ref, prim_ref, u_ref, v_ref, front_ref,
     stack_ref,  # SMEM (STACK_DEPTH*8,) i32
-    *scratch,  # HBM-tris variant: (tri_buf VMEM (1,128), dma_sem)
+    *scratch,  # HBM variants: (tri_buf, tri_sem) and/or (node_buf, node_sem)
     tris_in_hbm: bool = False,
+    nodes_in_hbm: bool = False,
     max_recs: int = 8,
     anyhit: bool = False,
+    use_meta: bool = True,
 ):
     ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
@@ -390,11 +393,15 @@ def _packet8_kernel(
             trow = block[:, 16 * k : 16 * (k + 1)]
             _tri_test(trow, slot * 8 + k)  # padded id; mapped outside
 
+    sc = list(scratch)
+    tri_bufs = sc[:2] if tris_in_hbm else []
+    node_bufs = sc[2:] if tris_in_hbm else sc
+
     if tris_in_hbm:
         def leaf_tris(slot):
             # DMA the leaf's single aligned (1,128) row = 8 padded tri
             # records, then statically unroll over them.
-            tri_buf, dma_sem = scratch
+            tri_buf, dma_sem = tri_bufs
             cp = pltpu.make_async_copy(
                 tris_ref.at[pl.ds(slot, 1), :], tri_buf, dma_sem
             )
@@ -404,6 +411,23 @@ def _packet8_kernel(
     else:
         def leaf_tris(slot):
             _test_block(tris_ref[pl.ds(slot, 1), :], slot)
+
+    if nodes_in_hbm:
+        def node_row(code):
+            # Node table beyond the VMEM budget: DMA the visited wide-node
+            # row on demand (512B).  Slower than resident nodes but gives
+            # arbitrarily large scenes a working TPU path (the pure-XLA
+            # gather walk is not TPU-safe, BENCH_NOTES r1 finding 4).
+            node_buf, node_sem = node_bufs
+            cp = pltpu.make_async_copy(
+                nodes_ref.at[pl.ds(code, 1), :], node_buf, node_sem
+            )
+            cp.start()
+            cp.wait()
+            return node_buf[...]
+    else:
+        def node_row(code):
+            return nodes_ref[pl.ds(code, 1), :]
 
     stack_ref[0] = entry_ref[0, 0]
 
@@ -421,7 +445,7 @@ def _packet8_kernel(
 
         def visit_interior():
             best = dst_ref[...]
-            row = nodes_ref[pl.ds(code, 1), :]  # (1,128): whole wide node
+            row = node_row(code)  # (1,128): whole wide node
             # Per-child any-hit -> scalar bitmask with 4 reductions: two
             # children share one i32 sum, counts packed 15 bits apart (lane
             # count <= 8192 so fields cannot carry).  (A plain bitwise-or
@@ -436,13 +460,19 @@ def _packet8_kernel(
                 any_a = jnp.where((word & 0x7FFF) > 0, jnp.int32(1), 0)
                 any_b = jnp.where((word >> 15) > 0, jnp.int32(1), 0)
                 mask = mask | (any_a << (2 * k)) | (any_b << (2 * k + 1))
-            axis = row[0, 7].astype(jnp.int32)
+            if use_meta:
+                # codes/axis as scalar SMEM loads — measured ~5% faster
+                # than the 8 strided vector extracts per visit
+                axis = meta_ref[code * 12 + 8]
+                codes = [meta_ref[code * 12 + c] for c in range(8)]
+            else:
+                axis = row[0, 7].astype(jnp.int32)
+                # child traversal codes, eagerly extracted (f32-held ints)
+                # — extracting inside the push branch measured ~12% slower
+                codes = [row[0, 8 * c + 6].astype(jnp.int32) for c in range(8)]
             neg = jnp.where(
                 axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z)
             )
-            # child traversal codes, eagerly extracted (f32-held ints) —
-            # extracting inside the push branch measured ~12% slower
-            codes = [row[0, 8 * c + 6].astype(jnp.int32) for c in range(8)]
             s = sp
             # slots are sorted ascending along axis: push far-to-near so the
             # near child pops first (iteration direction from packet sign)
@@ -467,7 +497,8 @@ def _packet8_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "interpret", "packet_size", "tris_in_hbm", "max_recs", "anyhit"
+        "interpret", "packet_size", "tris_in_hbm", "nodes_in_hbm",
+        "max_recs", "anyhit",
     ),
 )
 def packet_traverse_wide(
@@ -480,6 +511,7 @@ def packet_traverse_wide(
     interpret: bool = False,
     packet_size: int = None,
     tris_in_hbm: bool = False,
+    nodes_in_hbm: bool = False,
     max_recs: int = 8,
     anyhit: bool = False,
 ):
@@ -513,6 +545,22 @@ def packet_traverse_wide(
     )
     entry_arr = jnp.full((1, 1), entry_code, jnp.int32)
 
+    # Scalar-side mirror of each node's child codes + sort axis, read as
+    # SMEM scalar loads in the traversal loop instead of 8 strided vector
+    # extracts per visit.  SMEM is 1MB/core; larger node tables keep the
+    # vector-extract path.
+    n_wide = nodes.shape[0]
+    use_meta = n_wide * 12 * 4 <= 600_000
+    if use_meta:
+        codes_f = nodes[:, 6:70:8]  # (W,8) f32-held ints (NaN on empties)
+        meta2 = jnp.concatenate(
+            [codes_f, nodes[:, 7:8], jnp.zeros((n_wide, 3), nodes.dtype)],
+            axis=1,
+        )
+        meta = jnp.nan_to_num(meta2, nan=0.0).astype(jnp.int32).reshape(-1)
+    else:
+        meta = jnp.zeros((12,), jnp.int32)
+
     row_spec = pl.BlockSpec(
         (sub, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -527,8 +575,10 @@ def packet_traverse_wide(
     kernel = functools.partial(
         _packet8_kernel,
         tris_in_hbm=tris_in_hbm,
+        nodes_in_hbm=nodes_in_hbm,
         max_recs=max_recs,
         anyhit=anyhit,
+        use_meta=use_meta,
     )
     scratch = [pltpu.SMEM((STACK_DEPTH * 8,), jnp.int32)]
     if tris_in_hbm:
@@ -539,11 +589,20 @@ def packet_traverse_wide(
         ]
     else:
         tri_spec = full(leaf_rows)
+    if nodes_in_hbm:
+        node_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+        scratch += [
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        node_spec = full(nodes)
     dst, prim, u, v, front = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
-            full(nodes),
+            node_spec,
+            pl.BlockSpec(meta.shape, lambda i: (0,), memory_space=pltpu.SMEM),
             tri_spec,
             row_spec, row_spec, row_spec,
             row_spec, row_spec, row_spec,
@@ -554,7 +613,7 @@ def packet_traverse_wide(
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(nodes, leaf_rows, ox, oy, oz, dx, dy, dz, tmax, entry_arr)
+    )(nodes, meta, leaf_rows, ox, oy, oz, dx, dy, dz, tmax, entry_arr)
 
     flat = lambda x: x.reshape(-1)[:n]
     return (

@@ -41,30 +41,40 @@ from .intersect import BIG
 # (utils/jitting.py) leaves this much room comfortably.  48MB keeps a
 # Sponza-scale table (260k tris = ~17MB tris + ~5MB nodes) fully resident —
 # measured on a directly-attached v5e, the serialized per-leaf HBM DMA
-# variant is the dominant cost for such scenes.
-_PACKET_VMEM_BUDGET = 48_000_000
+# variant is the dominant cost for such scenes.  Env-overridable so tests
+# can exercise the overflow routings on small scenes.
+_PACKET_VMEM_BUDGET = int(
+    os.environ.get("RT_PACKET_VMEM_BUDGET", 48_000_000)
+)
 
 
 def _packet_mode(scene: CompiledScene) -> str:
-    """'off' | 'vmem' | 'hbm' | 'interpret' — static (trace-time) decision.
+    """'off' | 'vmem' | 'hbm' | 'hbm2' | 'interpret*' — trace-time routing.
 
     RT_PACKET=0 forces the gather walk, =1 forces the Pallas packet kernel,
     =interpret runs it in interpreter mode (CPU testing); default 'auto'
-    uses the kernel on TPU backends.  Triangle tables that overflow VMEM use
-    the leaf-block-DMA variant ('hbm'); node tables that overflow fall back
-    to the gather walk.
+    uses the kernel on TPU backends.  Placement by table size vs the VMEM
+    budget: 'vmem' = everything resident; 'hbm' = leaf rows DMA'd per
+    visit; 'hbm2' = node rows AND leaf rows DMA'd per visit (arbitrarily
+    large scenes — the pure-XLA gather walk crashes the TPU worker,
+    BENCH_NOTES r1 finding 4, so every scene size needs a packet path).
+    Interpret mode reports 'interpret:<placement>' to test each routing.
     """
     mode = os.environ.get("RT_PACKET", "auto")
     if mode == "0" or not scene.meta.get("flattened", False):
         return "off"
     # True VMEM-resident sizes: both tables are already 128-lane rows.
+    budget = int(os.environ.get("RT_PACKET_VMEM_BUDGET", _PACKET_VMEM_BUDGET))
     node_bytes = scene.wide_packed.shape[0] * 512
     tri_bytes = scene.leaf_rows.shape[0] * 512
-    if node_bytes > _PACKET_VMEM_BUDGET:
-        return "off"
-    placement = "vmem" if node_bytes + tri_bytes <= _PACKET_VMEM_BUDGET else "hbm"
+    if node_bytes + tri_bytes <= budget:
+        placement = "vmem"
+    elif node_bytes <= budget:
+        placement = "hbm"
+    else:
+        placement = "hbm2"
     if mode == "interpret":
-        return "interpret"
+        return "interpret:" + placement
     if mode == "1" or jax.default_backend() in ("tpu", "axon"):
         return placement
     return "off"
@@ -190,9 +200,10 @@ def traverse(
     if mode != "off":
         from ..kernels import packet
 
+        interp = mode.startswith("interpret")
+        placement = mode.split(":")[1] if interp else mode
         tmax0 = jnp.where(active, best.dst, -BIG)
         if os.environ.get("RT_WIDE", "1") != "0":
-            hbm = mode == "hbm"
             dst, prim, u, v, front = packet.packet_traverse_wide(
                 scene.wide_packed,
                 scene.leaf_rows,
@@ -200,8 +211,9 @@ def traverse(
                 direction,
                 tmax0,
                 0,  # entry = wide root
-                interpret=(mode == "interpret"),
-                tris_in_hbm=hbm,
+                interpret=interp,
+                tris_in_hbm=placement in ("hbm", "hbm2"),
+                nodes_in_hbm=placement == "hbm2",
                 max_recs=4 if scene.max_leaf_tris <= 4 else 8,
             )
             # kernel reports padded leaf-slot ids; map to global tri ids
@@ -229,7 +241,7 @@ def traverse(
                 tmax0,
                 scene.obj_bvh_root[0],
                 max_leaf=scene.max_leaf_tris,
-                interpret=(mode == "interpret"),
+                interpret=interp,
             )
         tri_hit = prim >= 0
         if raw:
@@ -308,6 +320,8 @@ def traverse_anyhit(
     if mode != "off" and os.environ.get("RT_WIDE", "1") != "0":
         from ..kernels import packet
 
+        interp = mode.startswith("interpret")
+        placement = mode.split(":")[1] if interp else mode
         tmax0 = jnp.where(active, tmax, -BIG)
         dst, _, _, _, _ = packet.packet_traverse_wide(
             scene.wide_packed,
@@ -316,8 +330,9 @@ def traverse_anyhit(
             direction,
             tmax0,
             0,
-            interpret=(mode == "interpret"),
-            tris_in_hbm=(mode == "hbm"),
+            interpret=interp,
+            tris_in_hbm=placement in ("hbm", "hbm2"),
+            nodes_in_hbm=placement == "hbm2",
             max_recs=4 if scene.max_leaf_tris <= 4 else 8,
             anyhit=True,
         )
