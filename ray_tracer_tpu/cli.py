@@ -81,6 +81,9 @@ def main(argv=None) -> int:
     pv = sub.add_parser("view", help="live progressive viewer (HTTP)")
     _add_common(pv)
     pv.add_argument("--port", type=int, default=8787)
+    pv.add_argument("--host", default="127.0.0.1",
+                    help="bind address (default loopback; 0.0.0.0 exposes "
+                         "the viewer and its camera endpoint to the network)")
 
     args = ap.parse_args(argv)
 
@@ -115,7 +118,7 @@ def main(argv=None) -> int:
     if args.cmd == "view":
         from . import viewer
 
-        viewer.serve(scene_dev, cfg, port=args.port)
+        viewer.serve(scene_dev, cfg, port=args.port, host=args.host)
         return 0
 
     if args.cmd == "bench":

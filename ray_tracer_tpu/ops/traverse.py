@@ -262,7 +262,7 @@ def traverse(
         # Single world-space BVH: one walk, no transforms, no object loop.
         return _walk(
             scene, hit_links, miss_links, origin, direction, active, best,
-            root=scene.obj_bvh_root[0], obj_id=None,
+            root=scene.obj_bvh_root[0], obj_id=None, max_steps=max_steps,
         )
 
     def per_object(best, obj_params):
@@ -272,7 +272,7 @@ def traverse(
         d = _transform_dir(inv_b, direction)
         best = _walk(
             scene, hit_links, miss_links, o, d, active, best,
-            root=root, obj_id=obj_id,
+            root=root, obj_id=obj_id, max_steps=max_steps,
         )
         return best, None
 
@@ -342,17 +342,20 @@ def traverse_anyhit(
     return (occ | (hit.kind == KIND_TRI)) & active
 
 
-def traverse_with_stats(scene, origin, direction, active):
+def traverse_with_stats(scene, origin, direction, active, tmax=None):
     """Closest hit + (box_tests, tri_tests) per ray.
 
     Debug/diagnostic path replicating the reference's stats counters
     (raytrace.comp:276): always uses the gather walk (the packet kernel
     tracks per-packet, not per-ray, work).  Flattened scenes only need one
-    walk; forest scenes scan objects like :func:`traverse`.
+    walk; forest scenes scan objects like :func:`traverse`.  Sphere hits
+    merge like :func:`traverse` (so full-path heatmaps follow the exact
+    production paths) but are not counted — the reference's sphere loop
+    increments nothing (raytrace.comp:282-287).
     """
     n = origin.shape[0]
     best = Hit(
-        dst=jnp.full((n,), BIG),
+        dst=jnp.full((n,), BIG) if tmax is None else jnp.asarray(tmax),
         kind=jnp.zeros((n,), jnp.int32),
         prim=jnp.zeros((n,), jnp.int32),
         obj=jnp.zeros((n,), jnp.int32),
@@ -360,6 +363,24 @@ def traverse_with_stats(scene, origin, direction, active):
         v=jnp.zeros((n,)),
         front=jnp.zeros((n,), bool),
     )
+    if scene.n_spheres > 0:
+        s_dst, s_front, s_hit = intersect.intersect_spheres(
+            origin, direction, scene.sphere_pos, scene.sphere_radius
+        )
+        s_dst = jnp.where(s_hit, s_dst, BIG)
+        si = jnp.argmin(s_dst, axis=1)
+        sd = jnp.take_along_axis(s_dst, si[:, None], axis=1)[:, 0]
+        sf = jnp.take_along_axis(s_front, si[:, None], axis=1)[:, 0]
+        better = active & (sd < best.dst)
+        best = Hit(
+            dst=jnp.where(better, sd, best.dst),
+            kind=jnp.where(better, KIND_SPHERE, best.kind),
+            prim=jnp.where(better, si.astype(jnp.int32), best.prim),
+            obj=best.obj,
+            u=best.u,
+            v=best.v,
+            front=jnp.where(better, sf, best.front),
+        )
     stats = (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
     if scene.n_objects == 0 or scene.meta.get("n_tris", 0) == 0:
         return best, stats
@@ -393,7 +414,7 @@ def traverse_with_stats(scene, origin, direction, active):
 
 
 def _walk(scene, hit_links, miss_links, o, d, active, best, root, obj_id,
-          stats=None):
+          stats=None, max_steps=4096):
     """One stackless octant-threaded walk of a single BVH tree.
 
     ``obj_id=None``: flattened scene — the owning instance comes from the
@@ -424,11 +445,13 @@ def _walk(scene, hit_links, miss_links, o, d, active, best, root, obj_id,
         stats = (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
 
     def cond(state):
-        node, _, _ = state
-        return jnp.any(node != SENTINEL)
+        node, _, _, steps = state
+        # the step bound turns a corrupted/cyclic link table (e.g. from a
+        # bad native-builder build) into a truncated walk instead of a hang
+        return jnp.any(node != SENTINEL) & (steps < max_steps)
 
     def body(state):
-        node, best, (box_cnt, tri_cnt) = state
+        node, best, (box_cnt, tri_cnt), steps = state
         live = node != SENTINEL
         ni = jnp.where(live, node, 0)
         row = scene.bvh_packed[ni]  # (N,8): min3|max3|idx|cnt
@@ -475,9 +498,11 @@ def _walk(scene, hit_links, miss_links, o, d, active, best, root, obj_id,
         go_deeper = box_hit & ~is_leaf
         nxt = jnp.where(go_deeper, lrow[:, 0], lrow[:, 1])
         node = jnp.where(live, nxt, SENTINEL)
-        return node, best, (box_cnt, tri_cnt)
+        return node, best, (box_cnt, tri_cnt), steps + 1
 
-    _, best, stats = jax.lax.while_loop(cond, body, (node0, best, stats))
+    _, best, stats, _ = jax.lax.while_loop(
+        cond, body, (node0, best, stats, jnp.int32(0))
+    )
     if with_stats:
         return best, stats
     return best

@@ -54,6 +54,9 @@ class SceneBuilder:
         self._mesh_cache: Dict[str, List[int]] = {}  # obj path -> group ids
         self._mtl_materials: Dict[str, int] = {}  # "mtlpath/name" -> mat idx
         self._texture_paths: List[str] = []
+        # add_obj call records, so save_scene can round-trip mesh instances
+        # (InstanceDesc itself keeps only the baked 4x4 transform)
+        self.obj_calls: List[Dict] = []
 
     # -- materials / primitives -------------------------------------------
     def add_material(self, mat: Material) -> int:
@@ -89,6 +92,18 @@ class SceneBuilder:
         path = os.path.abspath(path)
         if np.isscalar(scale):
             scale = (scale, scale, scale)
+        self.obj_calls.append(
+            dict(
+                path=path,
+                material=int(material),
+                position=tuple(position),
+                rotation_deg=tuple(rotation_deg),
+                scale=tuple(scale),
+                front_only=bool(front_only),
+                sampler=int(sampler),
+                name=name,
+            )
+        )
         if path not in self._mesh_cache:
             mesh = objio.parse_obj(path)
             if mesh.mtl_path and os.path.exists(mesh.mtl_path):

@@ -106,11 +106,26 @@ def load_scene(path: str) -> SceneBuilder:
 def builder_to_dict(b: SceneBuilder) -> Dict[str, Any]:
     """Serialize a SceneBuilder back to the JSON document form.
 
-    Mesh instances reference their original OBJ paths (kept on the builder's
-    instance descriptors); geometry itself is not embedded.
+    Mesh instances are emitted from the builder's recorded ``add_obj`` calls
+    (path + TRS + flags); geometry itself is not embedded.  Post-hoc edits
+    to individual ``InstanceDesc`` fields (e.g. repainting one usemtl
+    group's material) are not captured — re-apply them after loading.
     """
     doc: Dict[str, Any] = {"materials": [], "spheres": [], "objects": [],
                            "lights": []}
+    for call in b.obj_calls:
+        doc["objects"].append(
+            {
+                "path": call["path"],
+                "material": call["material"],
+                "position": list(call["position"]),
+                "rotation_deg": list(call["rotation_deg"]),
+                "scale": list(call["scale"]),
+                "front_only": call["front_only"],
+                "sampler": call["sampler"],
+                "name": call["name"],
+            }
+        )
     for m in b.materials:
         doc["materials"].append(
             {

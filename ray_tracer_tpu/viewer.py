@@ -127,7 +127,15 @@ class ViewerState:
             self.renderer.move_camera(new)
 
 
-def serve(scene: CompiledScene, cfg: RenderConfig, port: int = 8787) -> None:
+def serve(
+    scene: CompiledScene,
+    cfg: RenderConfig,
+    port: int = 8787,
+    host: str = "127.0.0.1",
+) -> None:
+    """Serve the live viewer. Binds loopback-only by default — the /set
+    endpoint mutates camera state, so exposing it beyond the machine must
+    be an explicit choice (``host="0.0.0.0"`` / ``--host``)."""
     state = ViewerState(scene, cfg)
     thread = threading.Thread(target=state.loop, daemon=True)
     thread.start()
@@ -157,7 +165,7 @@ def serve(scene: CompiledScene, cfg: RenderConfig, port: int = 8787) -> None:
             else:
                 self._send(404, "text/plain", b"not found")
 
-    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
     print(f"viewer at http://localhost:{port}/  (ctrl-c to stop)")
     try:
         server.serve_forever()

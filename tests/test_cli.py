@@ -104,6 +104,35 @@ def test_schema_save_roundtrip(tmp_path):
     assert s2.n_lights == 1
 
 
+def test_schema_save_roundtrip_mesh_instances(tmp_path, assets_dir):
+    """Mesh instances round-trip through save_scene (path + TRS + flags)."""
+    b = schema.builder_from_dict({"materials": [{"albedo": [1, 0, 0]}]})
+    b.add_obj(
+        os.path.join(assets_dir, "cube.obj"),
+        material=0,
+        position=(0.5, -1.0, 0.0),
+        rotation_deg=(0.0, 30.0, 0.0),
+        scale=0.4,
+        front_only=True,
+        sampler=1,
+        name="box",
+    )
+    p = str(tmp_path / "mesh.json")
+    schema.save_scene(b, p)
+    doc = json.loads(open(p).read())
+    assert len(doc["objects"]) == 1
+    o = doc["objects"][0]
+    assert o["name"] == "box" and o["front_only"] and o["sampler"] == 1
+    assert o["scale"] == [0.4, 0.4, 0.4]
+
+    b2 = schema.load_scene(p)
+    s1, s2 = b.compile(), b2.compile()
+    assert s2.meta["n_tris"] == s1.meta["n_tris"]
+    np.testing.assert_allclose(
+        np.asarray(s1.obj_inv_transform), np.asarray(s2.obj_inv_transform)
+    )
+
+
 def test_viewer_http_endpoints(tmp_path):
     """Live viewer serves page, stats, image; camera set resets frames."""
     import threading
