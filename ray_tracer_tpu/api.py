@@ -63,7 +63,7 @@ def _tile_mean(
     n_samples: int,
 ):
     """Mean of ``n_samples`` traced samples for the given pixels -> (N,3)."""
-    if cfg.path_regen:
+    if cfg.path_regen and cfg.estimator == "mis":
         acc = wavefront.trace_wave(
             scene, rot, pos, fov, aspect, near, pixel_ids, frame,
             sample_base, n_samples, cfg,
@@ -237,12 +237,13 @@ def render_debug(
 
     mode 0: box tests vs box_cap (red above cap); mode 1: triangle tests vs
     tri_cap; mode 2: r = box/cap, b = tri/cap.  Caps default to the
-    reference's ImGui defaults (vk_engine.h:168-169).  Counts are for the
-    primary-ray traversal (the reference accumulates over the full path —
-    this is the per-BVH-quality view that matters in practice).
+    reference's ImGui defaults (vk_engine.h:168-169).  Counts accumulate
+    over the FULL path — primary, every bounce, NEE shadow rays, and all
+    ``cfg.samples_per_pixel`` samples — exactly the reference's stats
+    threading (one stats[2] through every traversal of every sample,
+    raytrace.comp:276,443,496,572).
     """
     from .integrator import wavefront
-    from .ops import traverse as traverse_ops
 
     cam = camera or scene_camera(scene)
     rot, pos, fov, aspect, near = _camera_arrays(cam, cfg)
@@ -252,8 +253,18 @@ def render_debug(
         rays = wavefront.raygen(
             rot, pos, fov, aspect, near, ids, cfg.width, cfg.height
         )
-        _, (box, tri) = traverse_ops.traverse_with_stats(
-            scene, rays.origin, rays.direction, jnp.ones(ids.shape[0], bool)
+
+        def one_sample(acc, s):
+            b, t = acc
+            _, (box, tri) = wavefront.trace(
+                scene, rays, ids, jnp.int32(0), s, cfg, with_heatmap=True
+            )
+            return (b + box, t + tri), None
+
+        z = jnp.zeros((ids.shape[0],), jnp.float32)
+        (box, tri), _ = jax.lax.scan(
+            one_sample, (z, z),
+            jnp.arange(cfg.samples_per_pixel, dtype=jnp.int32),
         )
         return box, tri
 

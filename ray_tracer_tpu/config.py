@@ -77,6 +77,20 @@ class RenderConfig:
     # = on when the scene runs the packet kernel (off on the CPU oracle
     # path, where the gather walk has no packet-union cost).
     bin_rays: "bool | None" = None
+    # Capability extension: multiply specular/dielectric bounce radiance by
+    # the material albedo (gold metal, colored glass).  The reference
+    # SNAPSHOT's BTDFs return untinted vec3(1) (raytrace.comp:467,479), but
+    # its gallery screenshots (dragon_gold, monkey_dielectric blue glass,
+    # dread_metallic) were clearly produced by an earlier tinting shader —
+    # like quirk Q1's dead texture path.  Default False = snapshot-exact.
+    tint_spec_diel: bool = False
+    # Estimator ablation, reproducing the reference's importance-sampling
+    # study (renders/importance_sampling/): "mis" = production NEE + MIS
+    # (the 0/1-NEE pattern, raytrace.comp:430-464); "cosine" = cosine-
+    # weighted hemisphere sampling only, no NEE (cornell_cosine.png);
+    # "uniform" = uniform hemisphere sampling, no NEE (cornell_uniform.png).
+    # Non-default modes route through the static-scan integrator.
+    estimator: str = "mis"
 
     def replace(self, **kw) -> "RenderConfig":
         return replace(self, **kw)

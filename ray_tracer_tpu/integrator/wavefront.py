@@ -224,12 +224,20 @@ def trace(
     cfg: RenderConfig,
     with_stats: bool = False,
     with_profile: bool = False,
+    with_heatmap: bool = False,
 ):
     """Path-trace one sample for a batch of rays -> (N,3) linear radiance.
 
     With ``with_stats`` also returns the number of traversals actually
     performed (main + NEE shadow rays) — the Mrays/s numerator, the TPU
     analogue of the reference's ``stats[2]`` counters (raytrace.comp:276).
+
+    With ``with_heatmap`` also returns per-lane ``(box_tests, tri_tests)``
+    accumulated over the FULL path — primary, every bounce, and the NEE
+    shadow rays — exactly the reference's stats threading
+    (raytrace.comp:276,310,338 via :496 and :443).  Traversals route
+    through the counting gather walk (same paths, same hits), so this mode
+    is for diagnostics, not throughput.
 
     With ``with_profile`` additionally returns per-bounce occupancy counts
     ``(alive[j], nee_active[j])`` stacked over the bounce scan — the
@@ -247,6 +255,8 @@ def trace(
         alive: jnp.ndarray
         bad: jnp.ndarray
         n_rays: jnp.ndarray
+        box: jnp.ndarray  # () when with_heatmap=False, (N,) when True
+        tri: jnp.ndarray
 
     # Primary traversal once; thereafter each bounce issues ONE combined
     # 2N-ray traversal (next bounce rays ++ NEE shadow rays) — half the
@@ -255,12 +265,18 @@ def trace(
     # NEE result only at the NEXT bounce anyway (raytrace.comp:500-517).
     # The split-launch (anyhit) path skips the slot->tri/obj mapping
     # gathers (raw=True) and shades from the matching fat-row table.
-    use_raw = bool(cfg.nee_anyhit)
+    use_raw = bool(cfg.nee_anyhit) and not with_heatmap
     space = traverse.prim_space(scene) if use_raw else "tri"
-    hit0 = traverse.traverse(
-        scene, rays.origin, rays.direction, jnp.ones((n,), bool),
-        raw=use_raw,
-    )
+    if with_heatmap:
+        hit0, (box0, tri0) = traverse.traverse_with_stats(
+            scene, rays.origin, rays.direction, jnp.ones((n,), bool)
+        )
+    else:
+        hit0 = traverse.traverse(
+            scene, rays.origin, rays.direction, jnp.ones((n,), bool),
+            raw=use_raw,
+        )
+        box0 = tri0 = jnp.zeros((), jnp.float32)
 
     init = Carry(
         origin=rays.origin,
@@ -272,6 +288,8 @@ def trace(
         alive=jnp.ones((n,), bool),
         bad=jnp.zeros((n,), bool),
         n_rays=jnp.zeros((), jnp.float32) + n,
+        box=box0,
+        tri=tri0,
     )
 
     def bounce(carry: Carry, j):
@@ -319,8 +337,14 @@ def trace(
         )
         cos_pdf_at_l = bsdf.cosine_hemisphere_pdf(normal, l_dir)
 
-        cos_dir = bsdf.cosine_hemisphere_dir(normal, u6[:, 3], u6[:, 4])
-        real_cos_pdf = bsdf.cosine_hemisphere_pdf(normal, cos_dir)
+        if cfg.estimator == "uniform":
+            # ablation: uniform hemisphere, pdf 1/2pi
+            # (renders/importance_sampling/cornell_uniform.png)
+            cos_dir = bsdf.uniform_hemisphere_dir(normal, u6[:, 3], u6[:, 4])
+            real_cos_pdf = jnp.full((n,), 0.5 * INV_PI)
+        else:
+            cos_dir = bsdf.cosine_hemisphere_dir(normal, u6[:, 3], u6[:, 4])
+            real_cos_pdf = bsdf.cosine_hemisphere_pdf(normal, cos_dir)
         rad_diff = (
             albedo
             * INV_PI
@@ -355,7 +379,10 @@ def trace(
             dir_spec,
             jnp.where(is_diel[:, None], dir_diel, cos_dir),
         )
-        radiance = jnp.where(is_diff[:, None], rad_diff, 1.0)
+        # secondary-lobe tint: snapshot-exact vec3(1) unless the capability
+        # extension is on (RenderConfig.tint_spec_diel)
+        sec_rad = albedo if cfg.tint_spec_diel else 1.0
+        radiance = jnp.where(is_diff[:, None], rad_diff, sec_rad)
         origin_sign = jnp.where(is_diel, sign_diel, 1.0)
 
         atten = carry.atten * jnp.where(alive[:, None], radiance, 1.0)
@@ -372,12 +399,22 @@ def trace(
         # is dropped when the loop ends, raytrace.comp:495-530).
         alive = alive & (j < cfg.bounce_limit)
         nee_active = alive & is_diff
+        if cfg.estimator != "mis":
+            # ablation modes shoot no shadow rays; emission is collected
+            # when the scattered ray hits an emitter (delta-style -1
+            # sentinel for every lobe, set below)
+            nee_active = jnp.zeros_like(nee_active)
 
         new_origin = hp + normal * (origin_sign * 1e-5)[:, None]
         new_origin = jnp.where(alive[:, None], new_origin, carry.origin)
         new_dir = jnp.where(alive[:, None], new_dir, carry.direction)
 
-        if cfg.nee_anyhit and scene.n_lights == 0:
+        # heatmap mode forces the fused counting-walk branch below
+        anyhit = bool(cfg.nee_anyhit) and not with_heatmap
+        box_acc, tri_acc = carry.box, carry.tri
+        if (anyhit and scene.n_lights == 0) or (
+            cfg.estimator != "mis" and not with_heatmap
+        ):
             # No rect lights: NEE can never contribute (the closest-hit
             # resolve would always find pdf=0), so skip the shadow launch
             # entirely.  ``direct`` still becomes 0 (not the -1 delta
@@ -389,7 +426,7 @@ def trace(
             nee_active = jnp.zeros_like(nee_active)
             l_emit = f3(0.0)
             real_l_pdf = jnp.zeros((n,), jnp.float32)
-        elif cfg.nee_anyhit:
+        elif anyhit:
             # ---- split launches: closest-hit bounce rays + ANY-HIT shadow
             # rays.  Shadow lanes terminate at their first hit inside the
             # clip (no closest-hit refinement), and the light-side pdf is
@@ -433,7 +470,16 @@ def trace(
                 # measured slower than the traversal it saves on a real v5e
                 # (klein 2.23 -> 1.55 Mrays/s).
                 do_sort = False
-            if do_sort:
+            if with_heatmap:
+                # Counting walk; shadow-lane counts fold into their pixel
+                # (the reference threads one stats[2] through main and NEE
+                # traversals alike, raytrace.comp:443,496).
+                both, (sb, st) = traverse.traverse_with_stats(
+                    scene, o_both, d_both, a_both, tmax=t_both
+                )
+                box_acc = carry.box + sb[:n] + sb[n:]
+                tri_acc = carry.tri + st[:n] + st[n:]
+            elif do_sort:
                 # Alive-first compaction: a stable two-bucket partition (one
                 # cumsum, no argsort — measured 5x cheaper).  Dead lanes
                 # cluster into trailing packets that exit at the BVH root;
@@ -484,7 +530,11 @@ def trace(
         direct_diff = l_emit * nee_k * jnp.where(
             real_l_pdf == 0.0, 0.0, w1 / real_l_pdf
         )[:, None]
-        new_direct = jnp.where(is_diff[:, None], direct_diff, -1.0)
+        if cfg.estimator == "mis":
+            new_direct = jnp.where(is_diff[:, None], direct_diff, -1.0)
+        else:
+            # no NEE: every lobe defers to next-hit emission
+            new_direct = jnp.full((n, 3), -1.0)
         direct = jnp.where((did & ~bad)[:, None], new_direct, carry.direct)
 
         n_rays = carry.n_rays + jnp.sum(alive.astype(jnp.float32)) + jnp.sum(
@@ -501,6 +551,8 @@ def trace(
             alive=alive,
             bad=bad,
             n_rays=n_rays,
+            box=box_acc,
+            tri=tri_acc,
         )
         ys = None
         if with_profile:
@@ -514,6 +566,8 @@ def trace(
         bounce, init, jnp.arange(cfg.bounce_limit + 1, dtype=jnp.int32)
     )
     color = jnp.where(final.bad[:, None], 0.0, final.total)
+    if with_heatmap:
+        return color, (final.box, final.tri)
     if with_profile:
         return color, final.n_rays, per_bounce
     if with_stats:
@@ -734,7 +788,10 @@ def trace_wave(
             dir_spec,
             jnp.where(is_diel[:, None], dir_diel, cos_dir),
         )
-        radiance = jnp.where(is_diff[:, None], rad_diff, 1.0)
+        # secondary-lobe tint: snapshot-exact vec3(1) unless the capability
+        # extension is on (RenderConfig.tint_spec_diel)
+        sec_rad = albedo if cfg.tint_spec_diel else 1.0
+        radiance = jnp.where(is_diff[:, None], rad_diff, sec_rad)
         origin_sign = jnp.where(is_diel, sign_diel, 1.0)
         atten = w.atten * jnp.where(shaded[:, None], radiance, 1.0)
 

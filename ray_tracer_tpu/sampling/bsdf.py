@@ -44,6 +44,18 @@ def cosine_hemisphere_pdf(normal, direction):
     return jnp.maximum(0.0, dot(direction, normal) * INV_PI)
 
 
+def uniform_hemisphere_dir(normal, r1, r2):
+    """Uniform hemisphere sample (pdf 1/2pi) for the estimator-ablation
+    modes reproduced from the reference's importance-sampling study
+    (renders/importance_sampling/cornell_uniform.png): a uniform sphere
+    point mirrored into the normal's hemisphere."""
+    phi = 2.0 * jnp.pi * r1
+    z = 2.0 * r2 - 1.0
+    s = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    d = jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z], axis=-1)
+    return jnp.where(dot(d, normal)[:, None] < 0.0, -d, d)
+
+
 def schlick(cosine, refraction_index):
     """raytrace.comp:177-181."""
     r0 = (1.0 - refraction_index) / (1.0 + refraction_index)

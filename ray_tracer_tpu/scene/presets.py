@@ -157,11 +157,81 @@ def sphere_diffuse() -> SceneBuilder:
     return b
 
 
+def cornell_rainbow(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
+    """Reconstruction of renders/cornell_rainbow.png: green/blue/red walls
+    around a white sphere.  The reference image is an interactive-session
+    screenshot, so wall assignment (green left, blue back, red right) and
+    the sphere's size/placement are read off the image; everything else is
+    the stock Cornell setup (vk_engine.cpp:638-678)."""
+    b = SceneBuilder()
+    default_materials(b)
+    blue = b.add_material(Material(albedo=(0.0, 0.0, 1.0), name="blue"))
+    # resting on the floor (y-down world: floor plane at y=+0.5)
+    b.add_sphere((0.0, 0.11, 0.0), 0.39, WHITE)
+    cornell_box(b, assets)
+    # repaint the back wall blue (cornell_box made it white)
+    for _, inst in b.instances:
+        if inst.name == "back":
+            inst.material = blue
+    b.set_camera(Camera())
+    return b
+
+
+def spheres_demo() -> SceneBuilder:
+    """Reconstruction of renders/sphere_diffuse.png: green/white/red diffuse
+    spheres resting on a planet-sized blue-violet ground sphere under the
+    sky env light.  Proportions read off the screenshot; the material
+    palette extends the stock one."""
+    b = SceneBuilder()
+    default_materials(b)
+    green = b.add_material(Material(albedo=(0.2, 0.55, 0.25), name="dgreen"))
+    red = b.add_material(Material(albedo=(0.75, 0.1, 0.1), name="dred"))
+    pale = b.add_material(Material(albedo=(0.85, 0.92, 1.0), name="pale"))
+    ground = b.add_material(Material(albedo=(0.72, 0.72, 0.95), name="ground"))
+    # planet top is at y=0.2 (y-down world); resting centers sit at 0.2 - r
+    b.add_sphere((-0.95, -0.55, 0.5), 0.75, green)
+    b.add_sphere((0.1, -0.25, 0.6), 0.45, pale)
+    b.add_sphere((1.0, -0.08, 0.5), 0.28, red)
+    b.add_sphere((0.0, 100.2, 0.0), 100.0, ground)
+    b.set_environment(Environment(enabled=True))
+    b.set_camera(
+        Camera(position=(0.0, -0.8, -3.8), angles_deg=(0.0, 0.0, 0.0))
+    )
+    return b
+
+
+def monkey_demo(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
+    """Reconstruction of renders/monkey_dielectric.png: a blue-glass Suzanne
+    next to a blue-glass sphere in the white-walled Cornell box.  Material
+    and placement read off the screenshot (dielectric tint = albedo, like
+    the reference's dielectricBTDF radiance)."""
+    b = SceneBuilder()
+    default_materials(b)
+    blueglass = b.add_material(
+        Material(albedo=(0.25, 0.25, 1.0), ior=2.0, name="blueglass")
+    )
+    # floor plane is at y=+0.5 (y-down); both rest on it
+    b.add_sphere((-0.5, 0.05, 0.1), 0.45, blueglass)
+    b.add_obj(
+        os.path.join(assets, "monkey.obj"),
+        material=blueglass,
+        position=(0.45, 0.008, 0.0),
+        rotation_deg=(0.0, 180.0, 0.0),  # face the camera
+        scale=0.5,
+        sampler=1,
+        name="monkey",
+    )
+    cornell_box(b, assets)
+    b.set_camera(Camera())
+    return b
+
+
 def mesh_scene(
     obj_name: str,
     material: int = DIELECTRIC,
     scale=0.7,
     position=(0.0, 0.53, 0.0),
+    rotation_deg=(0.0, 0.0, 0.0),
     assets: str = DEFAULT_ASSETS,
 ) -> SceneBuilder:
     """BASELINE configs 3/4: a mesh (bunny/dread/...) inside the Cornell box
@@ -172,6 +242,7 @@ def mesh_scene(
         os.path.join(assets, obj_name),
         material=material,
         position=position,
+        rotation_deg=rotation_deg,
         scale=scale,
         sampler=1,
         name=obj_name,

@@ -155,6 +155,46 @@ def test_render_debug_heatmaps(cornell):
         assert img.max() > 0  # some traversal work happened
 
 
+def test_heatmap_full_path(cornell):
+    """Heatmap counters accumulate across the WHOLE path like the
+    reference's stats threading (raytrace.comp:276,443,496,572): more
+    bounces and more spp can only add tests, and the radiance computed
+    alongside is exactly the production (fused-NEE) result."""
+    import jax
+
+    from ray_tracer_tpu.api import _camera_arrays, scene_camera
+
+    cfg = RenderConfig(width=16, height=16, nee_anyhit=False)
+    cam = scene_camera(cornell)
+    rot, pos, fov, aspect, near = _camera_arrays(cam, cfg)
+    ids = jnp.arange(16 * 16, dtype=jnp.int32)
+    rays = wavefront.raygen(rot, pos, fov, aspect, near, ids, 16, 16)
+    z = jnp.int32(0)
+
+    def counts(c):
+        col, (box, tri) = jax.jit(
+            lambda: wavefront.trace(
+                cornell, rays, ids, z, z, c, with_heatmap=True
+            )
+        )()
+        return np.asarray(col), np.asarray(box), np.asarray(tri)
+
+    col2, box2, tri2 = counts(cfg.replace(bounce_limit=2))
+    col6, box6, tri6 = counts(cfg.replace(bounce_limit=6))
+    assert (box6 >= box2).all() and (tri6 >= tri2).all()
+    assert box6.sum() > box2.sum()  # deeper paths really counted more
+
+    # radiance parity with the plain fused integrator
+    plain = np.asarray(
+        jax.jit(
+            lambda: wavefront.trace(
+                cornell, rays, ids, z, z, cfg.replace(bounce_limit=6)
+            )
+        )()
+    )
+    np.testing.assert_allclose(col6, plain, rtol=1e-6, atol=1e-6)
+
+
 def test_textured_render(tmp_path, assets_dir):
     """Albedo texture sampling (quirk Q1 capability): a textured quad must
     show spatial color variation; with textures disabled it must not."""
@@ -235,3 +275,37 @@ def test_binned_wavefront_bit_identical(cornell):
     a = np.asarray(run(False))
     b = np.asarray(run(True))
     assert np.array_equal(a, b)
+
+
+def test_estimator_ablation_variance_ordering(cornell):
+    """Reproduces the reference's importance-sampling study
+    (renders/importance_sampling/): at equal sample counts the estimator
+    variance must order uniform > cosine > NEE+MIS on the Cornell box
+    (small area light), and all three must agree in expectation."""
+    import jax
+
+    from ray_tracer_tpu.api import _camera_arrays, scene_camera
+
+    cam = scene_camera(cornell)
+    base = RenderConfig(width=24, height=24)
+    rot, pos, fov, aspect, near = _camera_arrays(cam, base)
+    ids = jnp.arange(24 * 24, dtype=jnp.int32)
+    rays = wavefront.raygen(rot, pos, fov, aspect, near, ids, 24, 24)
+
+    def renders(est, k=8):
+        cfg = base.replace(estimator=est)
+        f = jax.jit(
+            lambda s: wavefront.trace(
+                cornell, rays, ids, jnp.int32(0), s, cfg
+            )
+        )
+        return np.stack([np.asarray(f(jnp.int32(s))) for s in range(k)])
+
+    r = {est: renders(est) for est in ("uniform", "cosine", "mis")}
+    # per-pixel variance across independent 1-spp estimates
+    v = {est: np.var(x, axis=0).mean() for est, x in r.items()}
+    assert v["uniform"] > v["cosine"] > v["mis"], v
+    # unbiasedness: the k-sample means agree within noise
+    m = {est: x.mean(axis=0) for est, x in r.items()}
+    assert abs(m["cosine"].mean() - m["mis"].mean()) < 0.15
+    assert abs(m["uniform"].mean() - m["mis"].mean()) < 0.15

@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Reference-image parity harness (VERDICT r1 item 3).
+
+The reference's de-facto acceptance artifacts are interactive-session
+SCREENSHOTS (``/root/reference/renders/*.png``, 3680x2514 with macOS window
+chrome, black letterboxing, and an ImGui overlay), not raw framebuffers —
+and the camera pose behind each one is unrecorded interactive state.  True
+same-seed pixel parity is therefore not definable against these files; what
+IS checkable is *scene-level* parity:
+
+1. reconstruct each pictured scene from the reference's own assets +
+   hardcoded material palette (scene/presets.py cites the sources),
+2. render it with the default engine camera (the screenshots were taken at
+   or near boot pose),
+3. auto-crop both images to the lit content (largest bright connected
+   component — rejects letterboxing and the floating ImGui panel),
+4. compare downscaled sRGB images: MSE + mean-abs-error, budgeting for
+   quirk Q2 (reference accumulates in rgba8) and Q9 (different RNG).
+
+Writes side-by-side images to renders/parity/ and a markdown table to
+stdout (pasted into PARITY.md).  Run on TPU for the high-spp renders.
+"""
+import json
+import os
+import sys
+
+import numpy as np
+from PIL import Image
+
+
+def srgb_encode(lin):
+    lin = np.clip(lin, 0.0, 1.0)
+    return np.where(
+        lin <= 0.0031308, lin * 12.92, 1.055 * lin ** (1 / 2.4) - 0.055
+    )
+
+
+def largest_bright_bbox(img, thresh=0.10, pad=0.005, run_frac=0.22):
+    """Bounding box (x0,y0,x1,y1 fractions) of the dominant bright region.
+
+    Row/column brightness profiles on a 256-wide downscale: the box face is
+    the contiguous run of rows (then columns) whose bright-pixel count
+    stays above ``run_frac`` of the peak, seeded at the peak row/column —
+    rejects window chrome, letterboxing, thin glows, and the detached
+    ImGui overlay without needing connectivity analysis."""
+    im = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    w = 256
+    h = max(1, round(im.height * w / im.width))
+    small = np.asarray(im.resize((w, h), Image.BILINEAR), np.float32) / 255.0
+    # max-channel, not luminance: a pure-blue cornell wall has lum 0.11
+    mask = small.max(-1) > thresh
+    mask[: max(1, int(0.05 * h))] = False  # macOS title bar band
+
+    def run(profile):
+        # the contiguous above-cut run with the largest integral (not the
+        # one around the global peak — a 1-row window-chrome line can be
+        # the peak)
+        cut = run_frac * np.percentile(profile, 98)
+        above = profile > cut
+        best, cur, lo = None, 0.0, None
+        for i, a in enumerate(above):
+            if a:
+                if lo is None:
+                    lo, cur = i, 0.0
+                cur += profile[i]
+            elif lo is not None:
+                if best is None or cur > best[0]:
+                    best = (cur, lo, i)
+                lo = None
+        if lo is not None and (best is None or cur > best[0]):
+            best = (cur, lo, len(above))
+        return best[1], best[2]
+
+    y0, y1 = run(mask.sum(axis=1).astype(np.float32))
+    x0, x1 = run(mask[y0:y1].sum(axis=0).astype(np.float32))
+    return (
+        max(0.0, x0 / w - pad), max(0.0, y0 / h - pad),
+        min(1.0, x1 / w + pad), min(1.0, y1 / h + pad),
+    )
+
+
+def crop_frac(img, box):
+    h, w = img.shape[:2]
+    x0, y0, x1, y1 = box
+    return img[int(y0 * h):int(y1 * h), int(x0 * w):int(x1 * w)]
+
+
+def to_128(img):
+    im = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    return np.asarray(im.resize((128, 128), Image.BILINEAR), np.float32) / 255.0
+
+
+def load_ref(path):
+    im = Image.open(path).convert("RGB")
+    return np.asarray(im, np.float32) / 255.0
+
+
+def compare(name, ref_png, ours_srgb, out_dir, ref_box=None, our_box=None):
+    ref = load_ref(ref_png)
+    rbox = ref_box or largest_bright_bbox(ref)
+    obox = our_box or largest_bright_bbox(ours_srgb)
+    a = to_128(crop_frac(ref, rbox))
+    b = to_128(crop_frac(ours_srgb, obox))
+    mse = float(np.mean((a - b) ** 2))
+    mae = float(np.mean(np.abs(a - b)))
+    side = np.concatenate(
+        [a, np.ones((128, 4, 3), np.float32), b], axis=1
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    Image.fromarray((side * 255).astype(np.uint8)).save(
+        os.path.join(out_dir, f"{name}.png")
+    )
+    return {"name": name, "mse": round(mse, 5), "mae": round(mae, 4)}
+
+
+def main():
+    import jax.numpy as jnp  # noqa: F401  (backend init)
+
+    from ray_tracer_tpu import RenderConfig, render
+    from ray_tracer_tpu.scene import presets
+
+    spp = int(os.environ.get("RT_PARITY_SPP", 1024))
+    # reference window is 1728x1117 (vk_engine.h:338)
+    W, H = 864, 558
+    out_dir = os.path.join(os.path.dirname(__file__), "..", "renders", "parity")
+
+    cases = {
+        # case: (builder, compare kwargs, RenderConfig overrides)
+        "cornell_rainbow": (presets.cornell_rainbow(), {}, {}),
+        # bunny rests on the floor plane at y=+0.5 (feet at mesh max-y
+        # -0.336, so position_y = 0.5 + 0.8*0.336)
+        "bunny_dielectric": (
+            presets.mesh_scene(
+                "bunny.obj", material=presets.DIELECTRIC, scale=0.8,
+                position=(0.0, 0.769, 0.0), rotation_deg=(0.0, 180.0, 0.0),
+            ),
+            {},
+            {},
+        ),
+        # the klein screenshot's ImGui panel column-touches the box, so its
+        # viewport crop is pinned to the (identical-window) cornell one
+        "klein_bottle": (
+            presets.mesh_scene(
+                "klein_bottle.obj", material=presets.DIELECTRIC, scale=0.15,
+                position=(0.0, 0.5, 0.0),
+            ),
+            {"ref_box": (0.229, 0.041, 0.771, 0.811)},
+            {},
+        ),
+        # blue glass = tinted dielectric, a pre-snapshot shader capability
+        # (see RenderConfig.tint_spec_diel)
+        "monkey_dielectric": (
+            presets.monkey_demo(),
+            {},
+            {"tint_spec_diel": True},
+        ),
+        # full-desktop screenshot: fixed crop left of the ImGui panel,
+        # below the menubar, above the dock
+        "sphere_diffuse": (
+            presets.spheres_demo(),
+            {"ref_box": (0.02, 0.06, 0.65, 0.86),
+             "our_box": (0.02, 0.06, 0.65, 0.86)},
+            {},
+        ),
+    }
+    wanted = os.environ.get("RT_PARITY_CASES")
+    if wanted:
+        cases = {k: v for k, v in cases.items() if k in wanted.split(",")}
+
+    rows = []
+    for name, (builder, kw, cfg_kw) in cases.items():
+        scene = builder.compile().device_put()
+        # <=64 spp per dispatch: single XLA executions beyond ~60s trip the
+        # TPU runtime's execution watchdog and kill the worker (this, not
+        # the gather walk itself, is the r1 "TPU worker crashed" failure
+        # shape — any long-enough program does it)
+        chunk = min(spp, 64)
+        cfg = RenderConfig(
+            width=W, height=H, samples_per_pixel=chunk, bounce_limit=8,
+            max_rays_per_batch=1 << 17, **cfg_kw,
+        )
+        from ray_tracer_tpu.api import render_frame
+
+        acc = np.zeros((H, W, 3), np.float32)
+        done = 0
+        while done < spp:
+            import time as _t
+            t0 = _t.perf_counter()
+            acc += np.asarray(
+                render_frame(scene, cfg, sample_base=done)
+            ) * (chunk / spp)
+            done += chunk
+            print(f"  {name} {done}/{spp} ({_t.perf_counter()-t0:.1f}s)",
+                  file=sys.stderr, flush=True)
+        ours = srgb_encode(acc)
+        row = compare(
+            name, f"/root/reference/renders/{name}.png", ours, out_dir, **kw
+        )
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    print("\n| case | MSE (sRGB, 128px) | MAE | side-by-side |")
+    print("|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['name']} | {r['mse']} | {r['mae']} |"
+            f" renders/parity/{r['name']}.png |"
+        )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    main()
