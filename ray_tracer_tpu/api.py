@@ -207,6 +207,15 @@ class ProgressiveRenderer:
         self.frame = 0
         self.total_samples = 0
 
+    def set_scene(self, scene: CompiledScene) -> None:
+        """Live scene edit (the reference's Update Buffer re-upload,
+        vk_engine.cpp:1541-1603): swap the compiled scene and restart
+        accumulation."""
+        self.scene = scene
+        self.accum = jnp.zeros_like(self.accum)
+        self.frame = 0
+        self.total_samples = 0
+
     # -- checkpoint / resume (capability the reference lacks) -------------
     def save_state(self, path: str) -> None:
         np.savez(

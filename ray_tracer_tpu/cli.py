@@ -103,7 +103,8 @@ def main(argv=None) -> int:
         seed=args.seed,
     )
     t0 = time.perf_counter()
-    scene = _build_scene(args).compile()
+    builder = _build_scene(args)
+    scene = builder.compile()
     compile_s = time.perf_counter() - t0
 
     if args.cmd == "info":
@@ -118,7 +119,8 @@ def main(argv=None) -> int:
     if args.cmd == "view":
         from . import viewer
 
-        viewer.serve(scene_dev, cfg, port=args.port, host=args.host)
+        # the builder (not the compiled scene) enables the live editors
+        viewer.serve(builder, cfg, port=args.port, host=args.host)
         return 0
 
     if args.cmd == "bench":

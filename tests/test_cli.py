@@ -134,64 +134,73 @@ def test_schema_save_roundtrip_mesh_instances(tmp_path, assets_dir):
 
 
 def test_viewer_http_endpoints(tmp_path):
-    """Live viewer serves page, stats, image; camera set resets frames."""
+    """Live viewer serves page/stats/image/scene/debug through the REAL
+    handler; camera set resets accumulation; /edit mutates the scene."""
     import threading
-    import time
     import urllib.request
 
-    import jax
-
     from ray_tracer_tpu import RenderConfig
-    from ray_tracer_tpu.scene import presets
     from ray_tracer_tpu import viewer
-    from http.server import ThreadingHTTPServer
+    from ray_tracer_tpu.scene import presets
 
-    scene = presets.sphere_diffuse().compile().device_put()
+    builder = presets.sphere_diffuse()
     cfg = RenderConfig(width=16, height=16, samples_per_pixel=1, bounce_limit=1)
-    state = viewer.ViewerState(scene, cfg)
+    state = viewer.ViewerState(builder, cfg)
 
-    # build the same handler the serve() function uses, on an ephemeral port
-    import io
-    from urllib.parse import urlparse, parse_qs
-    from http.server import BaseHTTPRequestHandler
-
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):
-            pass
-
-        def _send(self, code, ctype, body):
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-        def do_GET(self):
-            url = urlparse(self.path)
-            if url.path == "/":
-                self._send(200, "text/html", viewer._PAGE.encode())
-            elif url.path == "/image.png":
-                self._send(200, "image/png", state.png_bytes())
-            elif url.path == "/stats":
-                self._send(200, "application/json",
-                           json.dumps(state.stats()).encode())
-            elif url.path == "/set":
-                state.set_camera(parse_qs(url.query))
-                self._send(200, "application/json", b"{}")
-
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    srv = viewer._make_server(state, "127.0.0.1", 0)
     port = srv.server_address[1]
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:
-        html = urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=10).read()
+        u = f"http://127.0.0.1:{port}"
+        html = urllib.request.urlopen(f"{u}/", timeout=10).read()
         assert b"ray_tracer_tpu" in html
-        png = urllib.request.urlopen(f"http://127.0.0.1:{port}/image.png", timeout=10).read()
+        png = urllib.request.urlopen(f"{u}/image.png", timeout=10).read()
         assert png[:4] == b"\x89PNG"
-        stats = json.loads(urllib.request.urlopen(f"http://127.0.0.1:{port}/stats", timeout=10).read())
+        stats = json.loads(urllib.request.urlopen(f"{u}/stats", timeout=10).read())
         assert "camera" in stats
-        urllib.request.urlopen(f"http://127.0.0.1:{port}/set?py=-2.0", timeout=10).read()
+        urllib.request.urlopen(f"{u}/set?py=-2.0", timeout=10).read()
         assert state.renderer.camera.position[1] == -2.0
         assert state.renderer.frame == 0  # reset
+
+        # scene doc lists the editable pieces
+        doc = json.loads(urllib.request.urlopen(f"{u}/scene", timeout=10).read())
+        assert doc["editable"] and len(doc["spheres"]) >= 1
+
+        # live material edit recompiles the scene and resets accumulation
+        old_albedo = float(np.asarray(state.renderer.scene.mat_albedo)[0, 0])
+        body = json.dumps(
+            {"materials": {"0": {"albedo": [0.25, 0.5, 0.75]}}}
+        ).encode()
+        req = urllib.request.Request(f"{u}/edit", data=body, method="POST")
+        out = json.loads(urllib.request.urlopen(req, timeout=30).read())
+        assert out.get("ok")
+        new_albedo = np.asarray(state.renderer.scene.mat_albedo)[0]
+        np.testing.assert_allclose(new_albedo, [0.25, 0.5, 0.75], rtol=1e-6)
+        assert old_albedo != 0.25
+        assert state.renderer.frame == 0
+
+        # sphere edit moves geometry
+        body = json.dumps(
+            {"spheres": {"0": {"radius": 0.123}}}
+        ).encode()
+        req = urllib.request.Request(f"{u}/edit", data=body, method="POST")
+        assert json.loads(urllib.request.urlopen(req, timeout=30).read()).get("ok")
+        assert 0.123 in np.asarray(state.renderer.scene.sphere_radius)
+
+        # bad edit -> 400, state untouched
+        req = urllib.request.Request(
+            f"{u}/edit", data=b'{"materials": {"99": {"ior": 1}}}',
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # debug heatmap endpoint
+        dbg = urllib.request.urlopen(f"{u}/debug.png?mode=2", timeout=60).read()
+        assert dbg[:4] == b"\x89PNG"
     finally:
         srv.shutdown()
