@@ -4,6 +4,12 @@ The reference's de-facto acceptance artifacts are its renders/ PNGs
 (SURVEY.md §4); these are the equivalent for this framework — small
 deterministic CPU renders checked against committed float16 goldens.
 Guards the integrator's radiometric semantics against drift.
+
+Each golden is checked through BOTH traversal backends: the XLA gather
+walk (RT_PACKET=0, the oracle) and the production Pallas packet kernel in
+interpret mode (RT_PACKET=interpret — the same kernel code the TPU runs),
+so a TPU-vs-CPU image divergence in the kernel path fails the golden, not
+just the traversal-level equivalence tests in test_packet.py.
 """
 
 import os
@@ -18,6 +24,7 @@ CFG = RenderConfig(width=40, height=40, samples_per_pixel=8, bounce_limit=6)
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 
+@pytest.mark.parametrize("packet_mode", ["0", "interpret"])
 @pytest.mark.parametrize(
     "name,builder",
     [
@@ -26,10 +33,10 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
         ("sphere_diffuse", presets.sphere_diffuse),
     ],
 )
-def test_golden(name, builder):
+def test_golden(name, builder, packet_mode):
     path = os.path.join(GOLDEN_DIR, f"{name}_40x40_8spp.npy")
     golden = np.load(path).astype(np.float32)
-    os.environ["RT_PACKET"] = "0"
+    os.environ["RT_PACKET"] = packet_mode
     try:
         img = np.asarray(render(builder().compile().device_put(), CFG))
     finally:
