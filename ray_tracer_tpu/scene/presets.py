@@ -256,90 +256,206 @@ def sponza_proxy(n_tris_target: int = 260_000, seed: int = 7) -> SceneBuilder:
     """Sponza-scale procedural stand-in (BASELINE config 5).
 
     The reference tree ships sponza.mtl + textures but no sponza .obj (load
-    commented out, vk_engine.cpp:729 — SURVEY §6 caveat), so scale testing
-    uses a generated atrium: floor, colonnades of rotated columns, and an
-    emissive ceiling strip, sized to ~n_tris_target triangles after instance
-    flattening.  Geometry is deterministic in ``seed``.
+    commented out, vk_engine.cpp:729 -- SURVEY S6 caveat) and the sandbox
+    has no network egress (fetch attempt documented in PARITY.md), so scale
+    testing uses a generated two-story atrium patterned on the real Crytek
+    layout: a rectangular courtyard ringed by two tiers of colonnades,
+    beams over each row, wavy curtains hanging in the arcade, and foliage
+    clutter -- the content mix (curved lathes + long thin beams + rippled
+    sheets + irregular soup) that gives the real asset its BVH hardness.
+    tools/scene_hardness.py substantiates the match (SAH cost / depth /
+    per-ray test counts vs klein and the real asset's 262k-tri anchor).
+    Geometry is deterministic in ``seed``.
     """
     import numpy as np
 
     rng = np.random.default_rng(seed)
     b = SceneBuilder()
     default_materials(b)
-
-    # One icosphere-ish column mesh written to a temp obj once, reused (the
-    # builder caches by path) and instanced many times -> flattening
-    # replicates it to the target count.
     import tempfile
 
-    def make_column_obj(n_seg=12, n_ring=8):
-        """Lathed column: n_seg*n_ring*2 tris."""
+    def write_obj(prefix, verts, faces):
+        fd, path = tempfile.mkstemp(suffix=".obj", prefix=prefix)
+        with os.fdopen(fd, "w") as f:
+            for v in verts:
+                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+            for fa in faces:
+                f.write(f"f {fa[0]} {fa[1]} {fa[2]}\n")
+        return path
+
+    def make_column(n_seg=44):
+        """Fluted lathed column with base/shaft/capital profile — high
+        tessellation like the real asset's ornate columns (the real
+        Sponza's 262k tris live mostly in per-object detail, not object
+        count)."""
         verts, faces = [], []
-        prof = [(0.3, 0.0), (0.25, 0.1), (0.2, 0.3), (0.2, 1.7), (0.25, 1.9), (0.3, 2.0)]
+        prof = [(0.34, 0.0), (0.3, 0.05), (0.26, 0.12), (0.22, 0.2),
+                (0.2, 0.3), (0.195, 0.5), (0.19, 0.9), (0.19, 1.3),
+                (0.195, 1.55), (0.21, 1.7), (0.24, 1.8), (0.28, 1.88),
+                (0.31, 1.95), (0.34, 2.0)]
         n_prof = len(prof)
         for i in range(n_seg):
             a = 2 * np.pi * i / n_seg
+            flute = 1.0 + 0.05 * np.cos(10.0 * a)  # fluting ridges
             for r, y in prof:
-                verts.append((r * np.cos(a), -y, r * np.sin(a)))
+                rr = r * (flute if 0.25 < y < 1.6 else 1.0)
+                verts.append((rr * np.cos(a), -y, rr * np.sin(a)))
         for i in range(n_seg):
             for j in range(n_prof - 1):
                 a = i * n_prof + j
                 c = ((i + 1) % n_seg) * n_prof + j
                 faces.append((a + 1, c + 1, a + 2))
                 faces.append((c + 1, c + 2, a + 2))
-        fd, path = tempfile.mkstemp(suffix=".obj", prefix="rt_column_")
-        with os.fdopen(fd, "w") as f:
-            for v in verts:
-                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
-            for fa in faces:
-                f.write(f"f {fa[0]} {fa[1]} {fa[2]}\n")
-        return path, len(faces)
+        return write_obj("rt_column_", verts, faces), len(faces)
 
-    col_path, col_tris = make_column_obj()
-    n_cols = max(4, n_tris_target // col_tris)
-    side = int(np.ceil(np.sqrt(n_cols / 2)))
+    def make_curtain(nx=24, ny=36):
+        """Rippled hanging sheet: the Sponza-curtain analogue (thin,
+        doubly-curved, large-area leaves -- the classic SAH worst case)."""
+        verts, faces = [], []
+        for j in range(ny + 1):
+            for i in range(nx + 1):
+                u, v = i / nx, j / ny
+                x = (u - 0.5) * 1.6
+                y = -v * 2.2
+                z = 0.22 * np.sin(u * 6.0) * (0.3 + 0.7 * v) \
+                    + 0.08 * np.sin(v * 9.0)
+                verts.append((x, y, z))
+        for j in range(ny):
+            for i in range(nx):
+                a = j * (nx + 1) + i + 1
+                bq = a + 1
+                c = a + nx + 1
+                d = c + 1
+                faces.append((a, bq, d))
+                faces.append((a, d, c))
+        return write_obj("rt_curtain_", verts, faces), len(faces)
+
+    def make_beam():
+        """Long thin box (lintel over a colonnade row)."""
+        verts = [(x, y, z) for x in (-0.5, 0.5) for y in (0.0, -0.22)
+                 for z in (-0.14, 0.14)]
+        quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 2, 6, 4),
+                 (1, 5, 7, 3), (0, 4, 5, 1), (2, 3, 7, 6)]
+        faces = []
+        for q in quads:
+            faces.append((q[0] + 1, q[1] + 1, q[2] + 1))
+            faces.append((q[0] + 1, q[2] + 1, q[3] + 1))
+        return write_obj("rt_beam_", verts, faces), len(faces)
+
+    def make_foliage(n=480):
+        """Irregular triangle soup in a ball (potted-plant analogue)."""
+        verts, faces = [], []
+        for k in range(n):
+            c = rng.normal(0, 0.28, 3)
+            c[1] = -abs(c[1]) * 0.9
+            for _ in range(3):
+                p = c + rng.normal(0, 0.09, 3)
+                verts.append(tuple(p))
+            faces.append((3 * k + 1, 3 * k + 2, 3 * k + 3))
+        return write_obj("rt_foliage_", verts, faces), len(faces)
+
+    col_path, col_tris = make_column()
+    cur_path, cur_tris = make_curtain()
+    beam_path, beam_tris = make_beam()
+    fol_path, fol_tris = make_foliage()
+
+    # Courtyard: 2:1 rectangle like the real atrium.  Two rows x two
+    # tiers x two sides of nz columns each; nz derives from the column
+    # triangle budget (~55% of the target).
+    nz = max(3, int(n_tris_target * 0.58) // col_tris // 8)
+    L, W = nz * 1.35, 6.0  # courtyard half-extents derive from spacing
     k = 0
-    for gx in range(side):
-        for gz in range(2 * side):
-            if k >= n_cols:
-                break
-            x = -side + 2.0 * gx + rng.uniform(-0.2, 0.2)
-            z = -side + 1.0 * gz + rng.uniform(-0.2, 0.2)
-            b.add_obj(
-                col_path,
-                material=int(rng.integers(0, 3)),
-                position=(x, 0.0, z),
-                rotation_deg=(0.0, float(rng.uniform(0, 360)), 0.0),
-                scale=float(rng.uniform(0.7, 1.1)),
-                name=f"col{k}",
-            )
-            k += 1
+    for tier in range(2):
+        ty = -2.05 * tier
+        for row, xoff in ((0, W), (1, W - 1.6)):
+            for sx in (-1.0, 1.0):
+                for iz in range(nz):
+                    z = -L + (2 * L) * (iz + 0.5) / nz + rng.uniform(-0.1, 0.1)
+                    x = sx * (xoff + rng.uniform(-0.06, 0.06))
+                    b.add_obj(
+                        col_path,
+                        material=int(rng.integers(0, 3)),
+                        position=(x, ty, z),
+                        rotation_deg=(0.0, float(rng.uniform(0, 360)), 0.0),
+                        scale=(float(rng.uniform(0.8, 1.05)),
+                               float(rng.uniform(0.95, 1.05)),
+                               float(rng.uniform(0.8, 1.05))),
+                        name=f"col{k}",
+                    )
+                    k += 1
 
-    # floor + emissive strip
+    # beams over each colonnade row (long thin tris spanning the courtyard)
+    for tier in range(2):
+        ty = -2.0 - 2.05 * tier
+        for xoff in (W, W - 1.6):
+            for sx in (-1.0, 1.0):
+                b.add_obj(
+                    beam_path, material=WHITE,
+                    position=(sx * xoff, ty, 0.0),
+                    rotation_deg=(0.0, 90.0, 0.0),
+                    scale=(2.0 * L + 1.0, 1.0, 1.0),
+                    name=f"beam{tier}{sx}{xoff:.0f}",
+                )
+
+    # curtains hanging from the upper arcade beams
+    n_cur = max(2, int(n_tris_target * 0.24) // cur_tris)
+    for i in range(n_cur):
+        sx = -1.0 if i % 2 else 1.0
+        z = -L + (2 * L) * ((i // 2) + 0.5) / max(1, n_cur // 2)
+        b.add_obj(
+            cur_path,
+            material=int(rng.integers(0, 3)),
+            position=(sx * (W - 0.8), -3.9, z + rng.uniform(-0.2, 0.2)),
+            rotation_deg=(0.0, 90.0 + float(rng.uniform(-10, 10)), 0.0),
+            scale=(float(rng.uniform(0.9, 1.3)), float(rng.uniform(0.9, 1.1)),
+                   1.0),
+            name=f"curtain{i}",
+        )
+
+    # foliage pots along the lower arcade
+    n_fol = max(2, int(n_tris_target * 0.22) // fol_tris)
+    for i in range(n_fol):
+        sx = -1.0 if i % 2 else 1.0
+        z = -L + (2 * L) * ((i // 2) + 0.5) / max(1, n_fol // 2)
+        b.add_obj(
+            fol_path,
+            material=GREEN,
+            position=(sx * (W - 2.6) * rng.uniform(0.2, 1.0), -0.4,
+                      z + rng.uniform(-0.5, 0.5)),
+            rotation_deg=(0.0, float(rng.uniform(0, 360)), 0.0),
+            scale=float(rng.uniform(0.7, 1.2)),
+            name=f"foliage{i}",
+        )
+
+    # floor + emissive sky strip over the open courtyard
     b.add_obj(
         os.path.join(DEFAULT_ASSETS, "plane.obj"),
         material=WHITE,
         position=(0.0, 0.0, 0.0),
-        scale=(side * 1.5, 1.0, side * 1.5),
+        scale=(W + 2.0, 1.0, L + 2.0),
         front_only=True,
         name="floor",
     )
     b.add_obj(
         os.path.join(DEFAULT_ASSETS, "light2.obj"),
         material=LIGHT,
-        position=(0.0, -4.0, 0.0),
-        scale=(side * 0.8, 1.0, side * 0.8),
+        position=(0.0, -4.6, 0.0),
+        scale=(W - 2.0, 1.0, L),
         name="skylight",
     )
-    s8 = side * 0.8
     b.add_rect_light(
-        corner=(-s8 / 3.0, -4.0, -s8 / 3.0),
-        edge_u=(2.0 * s8 / 3.0, 0.0, 0.0),
-        edge_v=(0.0, 0.0, 2.0 * s8 / 3.0),
+        corner=(-(W - 2.0) / 3.0, -4.6, -L / 3.0),
+        edge_u=(2.0 * (W - 2.0) / 3.0, 0.0, 0.0),
+        edge_v=(0.0, 0.0, 2.0 * L / 3.0),
         normal=(0.0, -1.0, 0.0),
         material=LIGHT,
     )
+    # open-air courtyard: sky contributes through the roof opening like
+    # the real atrium
+    b.set_environment(Environment(enabled=True))
+    # classic down-the-arcade shot: camera between the colonnade rows so
+    # columns, curtains and beams fill the frustum
     b.set_camera(
-        Camera(position=(0.0, -2.2, -side * 1.2), angles_deg=(14.0, 0.0, 0.0))
+        Camera(position=(3.8, -1.7, -L * 0.85), angles_deg=(2.0, -14.0, 0.0))
     )
     return b

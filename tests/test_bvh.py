@@ -98,3 +98,26 @@ def test_single_triangle_group():
     forest, perm = bvh.build_forest(tris, [(0, 1)])
     assert forest.n_nodes == 1
     assert forest.tri_count[0] == 1
+
+
+def test_sponza_proxy_hardness():
+    """The scored BASELINE-config-5 workload must stay Sponza-hard
+    (VERDICT r1 weak #4): triangle count anchored to the real Crytek
+    asset (262,267), and a tree at least as SAH-expensive as the densest
+    in-repo real mesh (klein_bottle, SAH~53 by tools/scene_hardness.py's
+    metric) — guarding against the scene degenerating into cheap
+    spread-out geometry that inflates Mrays/s."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.scene_hardness import bvh_stats
+
+    from ray_tracer_tpu.scene import presets
+
+    s = presets.sponza_proxy().compile()
+    st = bvh_stats(s)
+    assert 240_000 <= st["n_tris"] <= 290_000, st
+    assert st["sah_cost"] >= 45.0, st
+    assert st["max_depth"] >= 18, st
+    # determinism in the seed (bench comparability across rounds)
+    s2 = presets.sponza_proxy().compile()
+    assert np.array_equal(np.asarray(s.tri_v0), np.asarray(s2.tri_v0))
