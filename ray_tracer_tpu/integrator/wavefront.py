@@ -457,9 +457,15 @@ def trace(
             o_both = jnp.concatenate([new_origin, nee_origin])
             d_both = jnp.concatenate([new_dir, l_dir])
             a_both = jnp.concatenate([alive, nee_active])
-            # Shadow rays are clipped just past the sampled light point:
-            # hits beyond it are never emissive-at-the-light, so the result
-            # is identical while traversal prunes subtrees beyond the light.
+            # Shadow rays are clipped just past the sampled light point so
+            # traversal prunes subtrees beyond the light.  Deliberate
+            # deviation (like the anyhit path's, documented above): the
+            # reference's unclipped raycast would count an emissive surface
+            # BEYOND the sampled distance (second emitter behind the light,
+            # or a light-table rect not coinciding with geometry,
+            # raytrace.comp:396-402) — impossible in scenes whose rect
+            # lights coincide with their emissive quads, i.e. every preset
+            # and everything the reference ships.
             nee_tmax = l_dist * 1.002 + 1e-3
             t_both = jnp.concatenate(
                 [jnp.full((n,), intersect.BIG), nee_tmax]

@@ -170,26 +170,44 @@ def main():
     rows = []
     for name, (builder, kw, cfg_kw) in cases.items():
         scene = builder.compile().device_put()
-        # <=64 spp per dispatch: single XLA executions beyond ~60s trip the
-        # TPU runtime's execution watchdog and kill the worker (this, not
-        # the gather walk itself, is the r1 "TPU worker crashed" failure
-        # shape — any long-enough program does it)
-        chunk = min(spp, 64)
+        # Single XLA executions beyond ~60s trip the TPU runtime's
+        # execution watchdog and kill the worker (this, not the gather walk
+        # itself, is the r1 "TPU worker crashed" failure shape — any
+        # long-enough program does it).  Scenes differ 5x+ in cost
+        # (klein's dielectric shell vs cornell), so the chunk spp is sized
+        # adaptively: time an 8-spp probe, then target ~35s per dispatch.
+        from ray_tracer_tpu.api import render_frame
+
+        import time as _t
+
+        acc = np.zeros((H, W, 3), np.float32)
+        chunk = min(spp, 8)
         cfg = RenderConfig(
             width=W, height=H, samples_per_pixel=chunk, bounce_limit=8,
             max_rays_per_batch=1 << 17, **cfg_kw,
         )
-        from ray_tracer_tpu.api import render_frame
-
-        acc = np.zeros((H, W, 3), np.float32)
-        done = 0
+        np.asarray(render_frame(scene, cfg, sample_base=0))  # compile warmup
+        t0 = _t.perf_counter()
+        acc += np.asarray(render_frame(scene, cfg, sample_base=0)) * (
+            chunk / spp
+        )
+        probe_s = _t.perf_counter() - t0  # post-compile steady-state
+        done = chunk
+        if done < spp:
+            per_spp = probe_s / chunk
+            chunk = int(min(64, max(4, 35.0 / max(per_spp, 1e-3))))
+            cfg = cfg.replace(samples_per_pixel=chunk)
+            print(f"  {name} chunk={chunk} ({per_spp:.1f}s/spp probe)",
+                  file=sys.stderr, flush=True)
         while done < spp:
-            import time as _t
+            c = min(chunk, spp - done)
+            if c != cfg.samples_per_pixel:
+                cfg = cfg.replace(samples_per_pixel=c)
             t0 = _t.perf_counter()
             acc += np.asarray(
                 render_frame(scene, cfg, sample_base=done)
-            ) * (chunk / spp)
-            done += chunk
+            ) * (c / spp)
+            done += c
             print(f"  {name} {done}/{spp} ({_t.perf_counter()-t0:.1f}s)",
                   file=sys.stderr, flush=True)
         ours = srgb_encode(acc)
