@@ -70,47 +70,46 @@ def main() -> None:
     tile = min(n_pix, cfg.max_rays_per_batch)
     n_tiles = -(-n_pix // tile)
 
-    @tpu_jit(static_argnames=("cfg", "n_spp", "n_tiles"))
-    def frame_with_stats(scene, rot, pos, fov, aspect, near, frame,
-                         cfg, n_spp, n_tiles):
-        """Whole frame, ONE dispatch: scan tiles, count traversals.
+    @tpu_jit(static_argnames=("cfg", "n_spp"))
+    def tile_with_stats(scene, rot, pos, fov, aspect, near, frame, t,
+                        cfg, n_spp):
+        """One pixel tile, one dispatch: all spp in the path-regenerating
+        wavefront (wavefront.trace_wave); rays counted = traversals
+        actually performed.
 
-        Tiles run the path-regenerating wavefront (all spp per tile in one
-        while_loop, wavefront.trace_wave); rays counted = traversals
-        actually performed, as before."""
-
-        def one_tile(acc, t):
-            ids = jnp.minimum(
-                t * tile + jnp.arange(tile, dtype=jnp.int32),
-                jnp.int32(n_pix - 1),
-            )
-            c, nr = wavefront.trace_wave(
-                scene, rot, pos, fov, aspect, near, ids, frame,
-                jnp.int32(0), n_spp, cfg, with_stats=True,
-            )
-            return (acc[0] + jnp.sum(c), acc[1] + nr), None
-
-        (checksum, nr), _ = jax.lax.scan(
-            one_tile,
-            (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
-            jnp.arange(n_tiles, dtype=jnp.int32),
+        One dispatch PER TILE (not a whole-frame tile scan inside one
+        program): a single XLA execution beyond the TPU runtime's ~60-90s
+        watchdog kills the worker — the round-1 'TPU worker crashed'
+        failure shape — and a hard full-path frame at 1080p is minutes of
+        device time.  The ~3.5ms dispatch floor is noise against
+        multi-second tiles."""
+        ids = jnp.minimum(
+            t * tile + jnp.arange(tile, dtype=jnp.int32),
+            jnp.int32(n_pix - 1),
         )
-        return checksum, nr
+        c, nr = wavefront.trace_wave(
+            scene, rot, pos, fov, aspect, near, ids, frame,
+            jnp.int32(0), n_spp, cfg, with_stats=True,
+        )
+        return jnp.sum(c), nr
+
+    def frame_with_stats(frame):
+        checksum = 0.0
+        nrays = 0.0
+        for t in range(n_tiles):
+            c, nr = tile_with_stats(
+                scene, rot, pos, fov, aspect, near, frame, jnp.int32(t),
+                cfg=cfg, n_spp=spp,
+            )
+            checksum += float(c)
+            nrays += float(nr)
+        return checksum, nrays
 
     # Warmup / compile.
-    checksum, nrays = frame_with_stats(
-        scene, rot, pos, fov, aspect, near, jnp.int32(0),
-        cfg=cfg, n_spp=spp, n_tiles=n_tiles,
-    )
-    _ = np.asarray(checksum)
+    frame_with_stats(jnp.int32(0))
 
     t0 = time.perf_counter()
-    checksum, nrays = frame_with_stats(
-        scene, rot, pos, fov, aspect, near, jnp.int32(1),
-        cfg=cfg, n_spp=spp, n_tiles=n_tiles,
-    )
-    total_rays = float(nrays)
-    _ = np.asarray(checksum)
+    checksum, total_rays = frame_with_stats(jnp.int32(1))
     dt = time.perf_counter() - t0
 
     mrays = total_rays / dt / 1e6
