@@ -29,6 +29,7 @@ Radiometric semantics replicate the reference exactly, including its quirks
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -581,29 +582,47 @@ def trace(
     return color
 
 
+_BIN_BITS = int(os.environ.get("RT_BIN_BITS", 5))
+_BIN_DIR_BITS = int(os.environ.get("RT_BIN_DIR_BITS", 0))
+
+
 def _bin_key(scene: CompiledScene, origin, direction, alive):
-    """Traversal-coherence sort key: (direction octant, 5-bit morton cell).
+    """Traversal-coherence sort key: (direction octant [+ optional finer
+    direction bits], origin morton cell).
 
     Rays sharing a key traverse near-identical BVH subtrees, so sorting by
     it shrinks each packet's node union (the round-1 bounce bottleneck,
     BENCH_NOTES finding 5).  Dead lanes key to the end so they cluster
     into all-dead packets that exit at the root (~free).  Bounds come from
     the flattened BVH root box; forest scenes degrade to octant-only.
+
+    RT_BIN_BITS: morton bits per origin axis (default 5 = 32^3 cells).
+    RT_BIN_DIR_BITS: extra |direction| quantization bits per axis inside
+    the octant (default 0).  Both swept in tools/measure_union.py.
     """
+    mb, db = _BIN_BITS, _BIN_DIR_BITS
     oct_ = (
         (direction[:, 0] < 0).astype(jnp.int32)
         + 2 * (direction[:, 1] < 0).astype(jnp.int32)
         + 4 * (direction[:, 2] < 0).astype(jnp.int32)
     )
-    key = oct_ << 15
+    key = oct_ << (3 * mb + 3 * db)
+    if db:
+        dq = jnp.clip(
+            jnp.abs(direction) * (1 << db), 0, (1 << db) - 1
+        ).astype(jnp.int32)
+        dmix = (dq[:, 0] << (2 * db)) | (dq[:, 1] << db) | dq[:, 2]
+        key = key | (dmix << (3 * mb))
     if scene.meta.get("flattened", False) and scene.meta.get("n_tris", 0):
         root = scene.bvh_packed[scene.obj_bvh_root[0]]
         mn, mx = root[0:3], root[3:6]
         cell = jnp.clip(
-            ((origin - mn) / jnp.maximum(mx - mn, 1e-6)) * 32.0, 0.0, 31.0
+            ((origin - mn) / jnp.maximum(mx - mn, 1e-6)) * (1 << mb),
+            0.0,
+            float((1 << mb) - 1),
         ).astype(jnp.int32)
         morton = jnp.zeros_like(oct_)
-        for b in range(5):
+        for b in range(mb):
             for ax in range(3):
                 morton = morton | (((cell[:, ax] >> b) & 1) << (3 * b + ax))
         key = key | morton

@@ -296,14 +296,18 @@ def _packet8_kernel(
     tmax_ref,
     entry_ref,  # (1,1) i32 SMEM: entry code (wide root id, or leaf code)
     dst_ref, prim_ref, u_ref, v_ref, front_ref,
-    stack_ref,  # SMEM (STACK_DEPTH*8,) i32
-    *scratch,  # HBM variants: (tri_buf, tri_sem) and/or (node_buf, node_sem)
+    *rest,  # [vis_int_ref, vis_leaf_ref when with_visits,] stack_ref, scratch
     tris_in_hbm: bool = False,
     nodes_in_hbm: bool = False,
     max_recs: int = 8,
     anyhit: bool = False,
     use_meta: bool = True,
+    with_visits: bool = False,
 ):
+    if with_visits:
+        vis_int_ref, vis_leaf_ref, stack_ref, *scratch = rest
+    else:
+        stack_ref, *scratch = rest
     ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
     inv_x = 1.0 / dx
@@ -431,10 +435,11 @@ def _packet8_kernel(
 
     stack_ref[0] = entry_ref[0, 0]
 
-    def cond(sp):
-        return sp > 0
+    def cond(state):
+        return state[0] > 0
 
-    def body(sp):
+    def body(state):
+        sp, ni, nl = state
         sp = sp - 1
         code = stack_ref[sp]
 
@@ -489,16 +494,26 @@ def _packet8_kernel(
                 s = s + bit
             return s
 
-        return jax.lax.cond(code < 0, visit_leaf, visit_interior)
+        new_sp = jax.lax.cond(code < 0, visit_leaf, visit_interior)
+        if with_visits:
+            is_leaf = jnp.where(code < 0, jnp.int32(1), jnp.int32(0))
+            ni = ni + 1 - is_leaf
+            nl = nl + is_leaf
+        return (new_sp, ni, nl)
 
-    jax.lax.while_loop(cond, body, jnp.int32(1))
+    final = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), jnp.int32(0), jnp.int32(0))
+    )
+    if with_visits:
+        vis_int_ref[...] = jnp.full_like(vis_int_ref[...], final[1])
+        vis_leaf_ref[...] = jnp.full_like(vis_leaf_ref[...], final[2])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "interpret", "packet_size", "tris_in_hbm", "nodes_in_hbm",
-        "max_recs", "anyhit",
+        "max_recs", "anyhit", "with_visits",
     ),
 )
 def packet_traverse_wide(
@@ -514,6 +529,7 @@ def packet_traverse_wide(
     nodes_in_hbm: bool = False,
     max_recs: int = 8,
     anyhit: bool = False,
+    with_visits: bool = False,
 ):
     """BVH8 packet traversal; same contract as :func:`packet_traverse`,
     except ``prim`` returns *padded leaf-slot ids* (slot*8 + k) — map them
@@ -521,6 +537,10 @@ def packet_traverse_wide(
 
     ``tris_in_hbm``: keep the leaf-row table in HBM and DMA rows on demand —
     for scenes whose triangles don't fit VMEM (nodes still must).
+
+    ``with_visits`` (diagnostic): also return per-packet
+    ``(interior_visits, leaf_visits)`` i32 arrays of shape (n_packets,) —
+    the node-union size each packet actually walked.
 
     ``anyhit``: occlusion query — lanes terminate at their FIRST accepted
     hit inside ``tmax0`` instead of refining to the closest one (the TPU
@@ -572,6 +592,11 @@ def packet_traverse_wide(
         jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
     ]
+    if with_visits:
+        out_shape += [
+            jax.ShapeDtypeStruct((g * sub, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((g * sub, _LANE), jnp.int32),
+        ]
     kernel = functools.partial(
         _packet8_kernel,
         tris_in_hbm=tris_in_hbm,
@@ -579,6 +604,7 @@ def packet_traverse_wide(
         max_recs=max_recs,
         anyhit=anyhit,
         use_meta=use_meta,
+        with_visits=with_visits,
     )
     scratch = [pltpu.SMEM((STACK_DEPTH * 8,), jnp.int32)]
     if tris_in_hbm:
@@ -597,7 +623,7 @@ def packet_traverse_wide(
         ]
     else:
         node_spec = full(nodes)
-    dst, prim, u, v, front = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
@@ -609,17 +635,22 @@ def packet_traverse_wide(
             row_spec,
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=[row_spec] * 5,
+        out_specs=[row_spec] * len(out_shape),
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
     )(nodes, meta, leaf_rows, ox, oy, oz, dx, dy, dz, tmax, entry_arr)
+    dst, prim, u, v, front = outs[:5]
 
     flat = lambda x: x.reshape(-1)[:n]
-    return (
+    result = (
         flat(dst),
         flat(prim),
         flat(u),
         flat(v),
         flat(front) > 0.5,
     )
+    if with_visits:
+        per_packet = lambda x: x.reshape(g, -1)[:, 0]
+        return result + (per_packet(outs[5]), per_packet(outs[6]))
+    return result
