@@ -88,47 +88,6 @@ def _tile_mean(
 _render_tile = tpu_jit(static_argnames=("cfg", "n_samples"))(_tile_mean)
 
 
-@tpu_jit(static_argnames=("cfg", "n_samples", "tile", "n_tiles"))
-def _render_tiles_scan(
-    scene: CompiledScene,
-    rot,
-    pos,
-    fov,
-    aspect,
-    near,
-    frame,
-    sample_base,
-    cfg: RenderConfig,
-    n_samples: int,
-    tile: int,
-    n_tiles: int,
-):
-    """Whole frame in ONE dispatch: lax.scan over pixel tiles.
-
-    The reference issues one compute dispatch per frame
-    (``vkCmdDispatch``, vk_engine.cpp:1665); the Python-loop tiling path
-    issues one *per tile*, which costs a host round-trip each.  Scanning
-    the tile loop inside jit keeps the live wavefront bounded at one
-    tile while paying a single dispatch per frame.  The padded tail tile
-    re-renders pixel ``n_pixels-1``; callers slice the flat result.
-    """
-
-    def one_tile(_, t):
-        ids = jnp.minimum(
-            t * tile + jnp.arange(tile, dtype=jnp.int32),
-            jnp.int32(cfg.n_pixels - 1),
-        )
-        return None, _tile_mean(
-            scene, rot, pos, fov, aspect, near, ids, frame, sample_base,
-            cfg, n_samples,
-        )
-
-    _, out = jax.lax.scan(
-        one_tile, None, jnp.arange(n_tiles, dtype=jnp.int32)
-    )
-    return out.reshape(n_tiles * tile, 3)
-
-
 def render_frame(
     scene: CompiledScene,
     cfg: RenderConfig,
@@ -144,19 +103,31 @@ def render_frame(
     n_pix = cfg.n_pixels
     tile = max(1, min(n_pix, cfg.max_rays_per_batch))
     n_tiles = -(-n_pix // tile)
-    if n_tiles == 1:
-        out = _render_tile(
-            scene, rot, pos, fov, aspect, near,
-            jnp.arange(n_pix, dtype=jnp.int32),
-            jnp.int32(frame), jnp.int32(sample_base),
-            cfg=cfg, n_samples=spp,
+    # One dispatch per (tile, spp-chunk), NOT one whole-frame program: a
+    # single XLA execution beyond the TPU runtime's ~60-90s watchdog kills
+    # the worker (BENCH_NOTES round 2), and a hard scene at high spp is
+    # minutes of device time.  The ~3.5ms dispatch floor only matters for
+    # interactive-small renders, which are a single chunk anyway.
+    chunk = max(1, min(spp, cfg.max_spp_per_dispatch))
+    outs = []
+    for t in range(n_tiles):
+        ids = jnp.minimum(
+            t * tile + jnp.arange(min(tile, n_pix), dtype=jnp.int32),
+            jnp.int32(n_pix - 1),
         )
-    else:
-        out = _render_tiles_scan(
-            scene, rot, pos, fov, aspect, near,
-            jnp.int32(frame), jnp.int32(sample_base),
-            cfg=cfg, n_samples=spp, tile=tile, n_tiles=n_tiles,
-        )[:n_pix]
+        acc = None
+        done = 0
+        while done < spp:
+            c = min(chunk, spp - done)
+            part = _render_tile(
+                scene, rot, pos, fov, aspect, near, ids,
+                jnp.int32(frame), jnp.int32(sample_base + done),
+                cfg=cfg, n_samples=c,
+            ) * (c / spp)
+            acc = part if acc is None else acc + part
+            done += c
+        outs.append(acc)
+    out = outs[0] if n_tiles == 1 else jnp.concatenate(outs)[:n_pix]
     return out.reshape(cfg.height, cfg.width, 3)
 
 

@@ -40,6 +40,11 @@ class RenderConfig:
     # pallas operands in scoped VMEM — 2*(1<<17) lanes is the safe ceiling
     # measured on v5e.
     max_rays_per_batch: int = 1 << 17
+    # Samples per XLA dispatch within a tile.  A single execution past the
+    # TPU runtime's ~60-90s watchdog kills the worker (BENCH_NOTES round
+    # 2), so big-spp renders are split into per-chunk dispatches; results
+    # are identical (counter-based RNG + exact chunk-weighted mean).
+    max_spp_per_dispatch: int = 32
     # Compact bounce/NEE rays alive-first before traversal so dead lanes
     # cluster into trailing packets that exit at the BVH root (~1.3 us
     # each, measured).  Implemented as a stable two-bucket partition (one

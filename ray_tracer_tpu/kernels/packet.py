@@ -35,10 +35,11 @@ BIG = 99999999.0  # python float: jnp scalars become captured consts in pallas
 # Rays per packet, laid out as native (8,128) VPU tiles per block (Mosaic
 # requires sublane/lane-divisible block shapes).  Larger packets amortize the
 # scalar traversal loop over more lanes but visit a larger node union
-# (worse for incoherent rays); 1024 = one tile.  4096 measured best on a
-# real v5e for BOTH primary (274 vs 238 Mrays/s at 2048) and full-path
-# bounce workloads (klein +13%, sponza_proxy +7%).
-PACKET = int(os.environ.get("RT_PACKET_SIZE", 4096))
+# (worse for incoherent rays); 1024 = one tile.  On the round-2 hardened
+# proxy 2048 beats 4096 by ~6% full-path (1.60 vs 1.51 Mrays/s) and ties
+# it on cornell/klein (26.2/26.3, 5.8/5.9), so 2048 is the default; the
+# round-1 easy-geometry measurements favored 4096.
+PACKET = int(os.environ.get("RT_PACKET_SIZE", 2048))
 assert PACKET % 1024 == 0
 _SUB, _LANE = 8 * (PACKET // 1024), 128
 STACK_DEPTH = 96  # builder max depth is 64 (vk_engine.cpp:1215) + margin
