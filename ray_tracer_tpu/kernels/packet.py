@@ -389,13 +389,18 @@ def _packet8_kernel(
             closer, front.astype(jnp.float32), front_ref[...]
         )
 
+    # Merged-leaf scenes pack 16 records across TWO consecutive rows per
+    # slot (builder merge_wide_leaves); record ids stay slot*8+k because
+    # k>=8 lands in row slot+1 at k-8 with the same padded id.
+    leaf_rows_per_slot = 2 if max_recs > 8 else 1
+
     def _test_block(block, slot):
-        # Static unroll over the row's records: NaN padding records cost
+        # Static unroll over the slot's records: NaN padding records cost
         # real VPU work, so scenes built with max_leaf<=4 unroll only 4
         # (their rows never hold more).  A runtime cnt branch was measured
         # 12% SLOWER than the wasted NaN tests (lax.cond per leaf visit).
         for k in range(max_recs):
-            trow = block[:, 16 * k : 16 * (k + 1)]
+            trow = block[k // 8 : k // 8 + 1, 16 * (k % 8) : 16 * (k % 8 + 1)]
             _tri_test(trow, slot * 8 + k)  # padded id; mapped outside
 
     sc = list(scratch)
@@ -404,18 +409,19 @@ def _packet8_kernel(
 
     if tris_in_hbm:
         def leaf_tris(slot):
-            # DMA the leaf's single aligned (1,128) row = 8 padded tri
-            # records, then statically unroll over them.
+            # DMA the slot's aligned row(s) of padded tri records, then
+            # statically unroll over them.
             tri_buf, dma_sem = tri_bufs
             cp = pltpu.make_async_copy(
-                tris_ref.at[pl.ds(slot, 1), :], tri_buf, dma_sem
+                tris_ref.at[pl.ds(slot, leaf_rows_per_slot), :],
+                tri_buf, dma_sem,
             )
             cp.start()
             cp.wait()
             _test_block(tri_buf[...], slot)
     else:
         def leaf_tris(slot):
-            _test_block(tris_ref[pl.ds(slot, 1), :], slot)
+            _test_block(tris_ref[pl.ds(slot, leaf_rows_per_slot), :], slot)
 
     if nodes_in_hbm:
         def node_row(code):
@@ -608,10 +614,11 @@ def packet_traverse_wide(
         with_visits=with_visits,
     )
     scratch = [pltpu.SMEM((STACK_DEPTH * 8,), jnp.int32)]
+    rows_per_slot = 2 if max_recs > 8 else 1
     if tris_in_hbm:
         tri_spec = pl.BlockSpec(memory_space=pltpu.HBM)
         scratch += [
-            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((rows_per_slot, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ]
     else:

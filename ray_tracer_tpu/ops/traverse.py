@@ -214,7 +214,9 @@ def traverse(
                 interpret=interp,
                 tris_in_hbm=placement in ("hbm", "hbm2"),
                 nodes_in_hbm=placement == "hbm2",
-                max_recs=4 if scene.max_leaf_tris <= 4 else 8,
+                max_recs=scene.meta.get(
+                    "wide_leaf_recs", 4 if scene.max_leaf_tris <= 4 else 8
+                ),
             )
             # kernel reports padded leaf-slot ids; map to global tri ids
             # (hot callers pass raw=True and use shade_slot rows instead)
@@ -333,7 +335,9 @@ def traverse_anyhit(
             interpret=interp,
             tris_in_hbm=placement in ("hbm", "hbm2"),
             nodes_in_hbm=placement == "hbm2",
-            max_recs=4 if scene.max_leaf_tris <= 4 else 8,
+            max_recs=scene.meta.get(
+                    "wide_leaf_recs", 4 if scene.max_leaf_tris <= 4 else 8
+                ),
             anyhit=True,
         )
         return (occ | (dst < -1.0)) & active

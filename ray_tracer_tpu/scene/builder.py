@@ -171,7 +171,10 @@ class SceneBuilder:
 
     # -- compile -------------------------------------------------------------
     def compile(
-        self, max_leaf_tris: int = None, flatten_instances: bool = True
+        self,
+        max_leaf_tris: int = None,
+        flatten_instances: bool = True,
+        merge_wide_leaves: bool = None,
     ) -> CompiledScene:
         """Flatten to device arrays.
 
@@ -404,23 +407,124 @@ class SceneBuilder:
 
             wide_bvh = collapse(forest, forest.roots[0])
             wide_meta = wide_bvh.meta
-            # Leaf-slot layout: one 128-float (8-tri) row per leaf so the
-            # kernel reads/DMAs aligned full rows.  Padding slots carry
-            # NaN v0 (every intersection test fails on NaN).
+            n_wide = wide_bvh.n_wide
+            # Merged-leaf mode (optional): sibling leaf children of a
+            # wide node are greedily packed (in sorted-slot order, so
+            # groups stay spatially adjacent) into 16-record TWO-row
+            # slots whose box is the union of the parts.  Dense-test ids
+            # stay slot*8+k because a group's records occupy consecutive
+            # rows.  Measured on the hardened proxy it is a WASH (leaf
+            # visits -37% but per-visit cost +40% from the 16-record
+            # unroll + 2-row load; bench 1.50 vs 1.59 Mrays/s), so the
+            # default stays off — kept as a tuning point for future
+            # scenes/kernels.
+            if merge_wide_leaves is None:
+                merge_wide_leaves = False
+            wide_leaf_recs = 16 if merge_wide_leaves else (
+                4 if max_leaf_tris <= 4 else 8
+            )
             leaf_rows_list = []
             leaf_map_list = []
-            for row in range(wide_meta.shape[0] - 1):
-                cnt = int(wide_meta[row, 1])
-                if cnt > 0:
-                    start = int(wide_meta[row, 0])
-                    slot = len(leaf_rows_list)
-                    block = np.full((8, 16), np.nan, f32)
-                    block[:cnt] = tri_packed[start : start + cnt]
-                    leaf_rows_list.append(block.reshape(128))
-                    ids = np.zeros(8, i32)
-                    ids[:cnt] = np.arange(start, start + cnt, dtype=i32)
-                    leaf_map_list.append(ids)
-                    wide_meta[row, 3] = slot
+            if merge_wide_leaves:
+                boxes8 = wide_bvh.boxes.reshape(n_wide, 8, 8)
+                slot_meta = wide_meta[:-1].reshape(n_wide, 8, 4)
+                new_boxes = np.full((n_wide, 8, 8), np.nan, f32)
+                new_codes = np.zeros((n_wide, 8), f32)
+                for w in range(n_wide):
+                    children = []  # (box(8,), code f32)
+                    group = []  # (start, cnt, box) accumulated leaves
+                    gcnt = 0
+
+                    def flush():
+                        nonlocal gcnt
+                        if not group:
+                            return
+                        slot = len(leaf_rows_list)
+                        block = np.full((16, 16), np.nan, f32)
+                        ids = np.zeros(16, i32)
+                        box = group[0][2].copy()
+                        off = 0
+                        for st, c, bx in group:
+                            block[off : off + c] = tri_packed[st : st + c]
+                            ids[off : off + c] = np.arange(
+                                st, st + c, dtype=i32
+                            )
+                            box[0:3] = np.minimum(box[0:3], bx[0:3])
+                            box[3:6] = np.maximum(box[3:6], bx[3:6])
+                            off += c
+                        leaf_rows_list.append(block[:8].reshape(128))
+                        leaf_rows_list.append(block[8:].reshape(128))
+                        leaf_map_list.append(ids)
+                        # payload cnt is informational only (the kernel
+                        # decodes just the slot, //16); cap to keep the
+                        # slot field unambiguous
+                        children.append(
+                            (box, f32(-(slot * 16 + min(off, 15)) - 1))
+                        )
+                        group.clear()
+                        gcnt = 0
+
+                    for c in range(8):
+                        box = boxes8[w, c]
+                        if not np.isfinite(box[0]):
+                            continue  # empty slot
+                        cnt = int(slot_meta[w, c, 1])
+                        if cnt > 0:
+                            if gcnt + cnt > 16:
+                                flush()
+                            group.append(
+                                (int(slot_meta[w, c, 0]), cnt, box)
+                            )
+                            gcnt += cnt
+                        else:
+                            children.append(
+                                (box, f32(slot_meta[w, c, 0]))
+                            )
+                    flush()
+                    # restore ascending order along the node's sort axis
+                    ax = int(wide_bvh.axis[w])
+                    children.sort(
+                        key=lambda t: float(t[0][ax] + t[0][3 + ax])
+                    )
+                    for c, (bx, code) in enumerate(children):
+                        new_boxes[w, c] = bx
+                        new_codes[w, c] = code
+                wide_packed = np.zeros((n_wide, 128), f32)
+                wide_packed[:, :64] = new_boxes.reshape(n_wide, 64)
+                wide_packed[:, 6:64:8] = new_codes
+                wide_packed[:, 7] = wide_bvh.axis.astype(f32)
+            else:
+                # Leaf-slot layout: one 128-float (8-tri) row per leaf so
+                # the kernel reads/DMAs aligned full rows.  Padding slots
+                # carry NaN v0 (every intersection test fails on NaN).
+                for row in range(wide_meta.shape[0] - 1):
+                    cnt = int(wide_meta[row, 1])
+                    if cnt > 0:
+                        start = int(wide_meta[row, 0])
+                        slot = len(leaf_rows_list)
+                        block = np.full((8, 16), np.nan, f32)
+                        block[:cnt] = tri_packed[start : start + cnt]
+                        leaf_rows_list.append(block.reshape(128))
+                        ids = np.zeros(8, i32)
+                        ids[:cnt] = np.arange(start, start + cnt, dtype=i32)
+                        leaf_map_list.append(ids)
+                        wide_meta[row, 3] = slot
+                # Native (W,128) row per wide node (Mosaic pads VMEM minor
+                # dims to 128 lanes, so narrow tables waste 16-32x VMEM):
+                # per child c lanes 8c..8c+5 = min/max, lane 8c+6 =
+                # traversal code held as an f32 VALUE (>=0 wide id; <0
+                # leaf with payload -(slot*16 + cnt) - 1), lane 7 =
+                # child-sort axis.  Empty slots keep NaN boxes (never hit).
+                wide_packed = np.zeros((n_wide, 128), f32)
+                wide_packed[:, :64] = wide_bvh.boxes.reshape(n_wide, 64)
+                slot_meta = wide_meta[:-1].reshape(n_wide, 8, 4)
+                codes = np.where(
+                    slot_meta[:, :, 1] > 0,
+                    -(slot_meta[:, :, 3] * 16 + slot_meta[:, :, 1]) - 1,
+                    slot_meta[:, :, 0],
+                ).astype(f32)
+                wide_packed[:, 6:64:8] = codes
+                wide_packed[:, 7] = wide_bvh.axis.astype(f32)
             leaf_rows = (
                 np.stack(leaf_rows_list)
                 if leaf_rows_list
@@ -431,29 +535,13 @@ class SceneBuilder:
                 if leaf_map_list
                 else np.zeros(8, i32)
             )
-            # Native (W,128) row per wide node (Mosaic pads VMEM minor dims
-            # to 128 lanes, so narrow tables waste 16-32x VMEM): per child c
-            # lanes 8c..8c+5 = min/max, lane 8c+6 = traversal code held as
-            # an f32 VALUE (>=0 wide id; <0 leaf with payload
-            # -(slot*16 + cnt) - 1), lane 7 = child-sort axis.  Empty slots
-            # keep NaN boxes (never hit).
-            n_wide = wide_bvh.n_wide
-            wide_packed = np.zeros((n_wide, 128), f32)
-            wide_packed[:, :64] = wide_bvh.boxes.reshape(n_wide, 64)
-            slot_meta = wide_meta[:-1].reshape(n_wide, 8, 4)
-            codes = np.where(
-                slot_meta[:, :, 1] > 0,
-                -(slot_meta[:, :, 3] * 16 + slot_meta[:, :, 1]) - 1,
-                slot_meta[:, :, 0],
-            ).astype(f32)
-            wide_packed[:, 6:64:8] = codes
-            wide_packed[:, 7] = wide_bvh.axis.astype(f32)
         else:
             wide_packed = np.full((1, 128), np.nan, f32)
             wide_packed[:, 6:64:8] = 0.0
             wide_packed[:, 7] = 0.0
             leaf_rows = np.full((1, 128), np.nan, f32)
             leaf_map = np.zeros(8, i32)
+            wide_leaf_recs = 4 if max_leaf_tris <= 4 else 8
 
         # Slot-space mirror of the fat shading rows: indexed directly by the
         # wide packet kernel's padded leaf-slot ids (slot*8 + k), removing
@@ -523,6 +611,7 @@ class SceneBuilder:
                 "n_textures": len(self._texture_paths),
                 "n_tris": int(positions.shape[0]) if self._groups else 0,
                 "max_leaf_tris": forest.max_leaf_tris,
+                "wide_leaf_recs": wide_leaf_recs,
                 "flattened": flattened,
                 "bvh_max_depth": forest.max_depth_seen,
                 "camera": (

@@ -330,17 +330,52 @@ def sponza_proxy(n_tris_target: int = 260_000, seed: int = 7) -> SceneBuilder:
                 faces.append((a, d, c))
         return write_obj("rt_curtain_", verts, faces), len(faces)
 
-    def make_beam():
-        """Long thin box (lintel over a colonnade row)."""
-        verts = [(x, y, z) for x in (-0.5, 0.5) for y in (0.0, -0.22)
-                 for z in (-0.14, 0.14)]
-        quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 2, 6, 4),
-                 (1, 5, 7, 3), (0, 4, 5, 1), (2, 3, 7, 6)]
-        faces = []
-        for q in quads:
-            faces.append((q[0] + 1, q[1] + 1, q[2] + 1))
-            faces.append((q[0] + 1, q[2] + 1, q[3] + 1))
+    def make_beam(n_seg=32):
+        """Lintel over a colonnade row, tessellated along its length —
+        real Sponza has no courtyard-spanning triangles, and monster
+        AABBs would put the beam in every packet's leaf visits."""
+        verts, faces = [], []
+        ys = (0.0, -0.22)
+        zs = (-0.14, 0.14)
+        for i in range(n_seg + 1):
+            x = -0.5 + i / n_seg
+            for y in ys:
+                for z in zs:
+                    verts.append((x, y, z))
+        # 4 side strips along the length (skip tiny end caps)
+        side_pairs = [(0, 1), (1, 3), (3, 2), (2, 0)]  # corner ring order
+        corner = {0: (0, 0), 1: (0, 1), 3: (1, 1), 2: (1, 0)}  # (yi, zi)
+        for i in range(n_seg):
+            a0 = i * 4
+            b0 = (i + 1) * 4
+            for c0, c1 in side_pairs:
+                y0, z0 = corner[c0]
+                y1, z1 = corner[c1]
+                p = a0 + 2 * y0 + z0 + 1
+                q = a0 + 2 * y1 + z1 + 1
+                r = b0 + 2 * y1 + z1 + 1
+                s = b0 + 2 * y0 + z0 + 1
+                faces.append((p, q, r))
+                faces.append((p, r, s))
         return write_obj("rt_beam_", verts, faces), len(faces)
+
+    def make_floor(nx=24, nz=48):
+        """Tessellated courtyard floor slab (the reference's plane.obj is
+        one quad; a 16x44-unit triangle pair is not Sponza-like)."""
+        verts, faces = [], []
+        for j in range(nz + 1):
+            for i in range(nx + 1):
+                verts.append(((i / nx - 0.5) * 2.0, 0.0,
+                              (j / nz - 0.5) * 2.0))
+        for j in range(nz):
+            for i in range(nx):
+                a = j * (nx + 1) + i + 1
+                bq = a + 1
+                c = a + nx + 1
+                d = c + 1
+                faces.append((a, bq, d))
+                faces.append((a, d, c))
+        return write_obj("rt_floor_", verts, faces), len(faces)
 
     def make_foliage(n=480):
         """Irregular triangle soup in a ball (potted-plant analogue)."""
@@ -428,8 +463,9 @@ def sponza_proxy(n_tris_target: int = 260_000, seed: int = 7) -> SceneBuilder:
         )
 
     # floor + emissive sky strip over the open courtyard
+    floor_path, _ = make_floor()
     b.add_obj(
-        os.path.join(DEFAULT_ASSETS, "plane.obj"),
+        floor_path,
         material=WHITE,
         position=(0.0, 0.0, 0.0),
         scale=(W + 2.0, 1.0, L + 2.0),

@@ -241,3 +241,76 @@ def test_hbm_routing_variants_match(monkeypatch):
     for label in ("hbm", "hbm2"):
         for a, b in zip(results["vmem"], results[label]):
             assert np.array_equal(a, b), label
+
+
+def test_merged_leaf_slots_match(rand):
+    """compile(merge_wide_leaves=True) packs sibling leaves into 16-record
+    two-row slots; traversal results must match the plain layout (same
+    closest hits; prim ids map through each layout's leaf_map)."""
+    import numpy as np
+
+    from ray_tracer_tpu.scene import presets
+
+    b = presets.default_scene()
+    sm = b.compile(merge_wide_leaves=True)
+    sp = b.compile(merge_wide_leaves=False)
+    assert sm.meta["wide_leaf_recs"] == 16
+    assert sm.leaf_rows.shape[0] < sp.leaf_rows.shape[0]
+
+    def walk(scene, o, d):
+        wp = np.asarray(scene.wide_packed)
+        lr = np.asarray(scene.leaf_rows)
+        lm = np.asarray(scene.leaf_map)
+        recs_n = scene.meta["wide_leaf_recs"]
+        rows = -(-recs_n // 8)
+        inv = 1.0 / d
+        best_t, best_id = 1e30, -1
+        stack = [0]
+        while stack:
+            code = stack.pop()
+            if code < 0:
+                slot = (-code - 1) // 16
+                recs = lr[slot:slot + rows].reshape(-1, 16)[:recs_n]
+                for k, tr in enumerate(recs):
+                    if not np.isfinite(tr[0]):
+                        continue
+                    v0, e1, e2, nrm = tr[0:3], tr[3:6], tr[6:9], tr[9:12]
+                    r = o - v0
+                    q = np.cross(r, d)
+                    d0 = -np.dot(d, nrm)
+                    if abs(d0) < 1e-12:
+                        continue
+                    t = np.dot(r, nrm) / d0
+                    u = np.dot(e2, q) / d0
+                    v = -np.dot(e1, q) / d0
+                    w = 1 - u - v
+                    front = d0 >= 1e-8
+                    if (t >= 0 and u >= 0 and v >= 0 and w >= 0
+                            and not ((not front) and tr[12] > 0.5)):
+                        if t < best_t:
+                            best_t, best_id = t, lm[slot * 8 + k]
+                continue
+            row = wp[code]
+            for c in range(8):
+                bx = row[8 * c:8 * c + 6]
+                if not np.isfinite(bx[0]):
+                    continue
+                t1 = (bx[0:3] - o) * inv
+                t2 = (bx[3:6] - o) * inv
+                tmin = np.max(np.minimum(t1, t2))
+                tmax = np.min(np.maximum(t1, t2))
+                if tmax >= tmin and tmax > 0 and tmin < best_t:
+                    stack.append(int(row[8 * c + 6]))
+        return best_t, best_id
+
+    mism = 0
+    for _ in range(120):
+        o = np.array([0.0, -0.5, 0.0]) + rand.normal(0, 0.5, 3)
+        d = rand.normal(0, 1, 3)
+        d /= np.linalg.norm(d)
+        t1, i1 = walk(sm, o, d)
+        t2, i2 = walk(sp, o, d)
+        # exact-t ties on shared edges may break to either triangle
+        if not (abs(t1 - t2) < 1e-5 and (i1 == i2 or abs(t1 - t2) == 0.0)):
+            mism += 1
+    assert mism == 0

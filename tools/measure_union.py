@@ -73,7 +73,7 @@ def main():
     order = jnp.argsort(key)
     bo_s, bd_s = jnp.asarray(bo)[order], jnp.asarray(bd)[order]
 
-    max_recs = 4 if scene.max_leaf_tris <= 4 else 8
+    max_recs = scene.meta.get("wide_leaf_recs", 4 if scene.max_leaf_tris <= 4 else 8)
 
     def run(o, d, p_size, label):
         f = jax.jit(

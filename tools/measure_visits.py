@@ -32,7 +32,7 @@ def main():
         rays = wavefront.raygen(rot, pos, fov, aspect, near, ids, 512, 512)
         fn = tpu_jit(lambda w, l, o, d, t: packet.packet_traverse_wide(
             w, l, o, d, t, 0,
-            max_recs=4 if scene.max_leaf_tris <= 4 else 8)[0])
+            max_recs=scene.meta.get("wide_leaf_recs", 4 if scene.max_leaf_tris <= 4 else 8))[0])
         f = functools.partial(fn, scene.wide_packed, scene.leaf_rows)
         tm = jnp.full((N,), packet.BIG)
         o, d = rays.origin, rays.direction
