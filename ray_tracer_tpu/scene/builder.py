@@ -63,6 +63,14 @@ class SceneBuilder:
         self.materials.append(mat)
         return len(self.materials) - 1
 
+    def add_texture(self, path: str) -> int:
+        """Register an image and return its texture slot (for
+        ``Material(albedo_tex=...)``) — the API form of the reference's
+        interactive texture assignment (its shipped MTLs often omit the
+        map_Kd the gallery renders clearly used, e.g. dread_alb.png)."""
+        self._texture_paths.append(os.path.abspath(path))
+        return len(self._texture_paths) - 1
+
     def add_sphere(self, position, radius: float, material: int) -> int:
         self.spheres.append(SphereDesc(tuple(position), float(radius), int(material)))
         return len(self.spheres) - 1

@@ -226,6 +226,37 @@ def monkey_demo(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
     return b
 
 
+def dread_demo(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
+    """Reconstruction of renders/dread_texture.png: the dread model with
+    its albedo texture (dread_alb.png) in the Cornell box, seen from the
+    +z side (the screenshot's walls are mirrored: red left, green right).
+    The shipped dread.mtl has no map_Kd — the texture was assigned in the
+    reference's interactive session — so the builder's add_texture API
+    recreates the assignment (BASELINE config 4's texture capability)."""
+    b = SceneBuilder()
+    default_materials(b)
+    b.add_obj(
+        os.path.join(assets, "dread.obj"),
+        material=WHITE,
+        position=(-0.66, 0.38, 0.0),
+        scale=1.5,
+        sampler=1,
+        name="dread",
+    )
+    cornell_box(b, assets)
+    tex = b.add_texture(os.path.join(assets, "dread_alb.png"))
+    m = b.add_material(
+        Material(albedo=(1.0, 1.0, 1.0), albedo_tex=tex, name="dread")
+    )
+    for _, inst in b.instances:
+        if inst.name == "dread":
+            inst.material = m
+    b.set_camera(
+        Camera(position=(0.0, -0.5, 3.5), angles_deg=(4.0, 180.0, 0.0))
+    )
+    return b
+
+
 def mesh_scene(
     obj_name: str,
     material: int = DIELECTRIC,

@@ -154,6 +154,12 @@ def main():
             {},
             {"tint_spec_diel": True},
         ),
+        # textured dread seen from +z (mirrored walls in the screenshot)
+        "dread_texture": (
+            presets.dread_demo(),
+            {},
+            {},
+        ),
         # full-desktop screenshot: fixed crop left of the ImGui panel,
         # below the menubar, above the dock
         "sphere_diffuse": (
