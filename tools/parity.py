@@ -12,8 +12,8 @@ IS checkable is *scene-level* parity:
    hardcoded material palette (scene/presets.py cites the sources),
 2. render it with the default engine camera (the screenshots were taken at
    or near boot pose),
-3. auto-crop both images to the lit content (largest bright connected
-   component — rejects letterboxing and the floating ImGui panel),
+3. auto-crop both images to the lit content (brightness-profile run
+   detection — rejects letterboxing and the floating ImGui panel),
 4. compare downscaled sRGB images: MSE + mean-abs-error, budgeting for
    quirk Q2 (reference accumulates in rgba8) and Q9 (different RNG).
 
