@@ -277,9 +277,411 @@ void thread_links(const std::vector<int32_t> &index,
   }
 }
 
+// ---------------------------------------------------------------------------
+// SBVH: binned SAH with *spatial splits* (Stich et al. 2009, "Spatial Splits
+// in Bounding Volume Hierarchies").  Where plain SAH must put a big triangle
+// wholly on one side — giving overlap-heavy trees on curtain/foliage content
+// — the spatial split clips triangle *references* at a plane and emits a
+// clipped reference to each side.  Leaves then address ranges of a REFERENCE
+// array (perm maps refs -> original triangle ids, with duplicates); the
+// downstream pipeline already copies triangle records per leaf row, so
+// duplication costs only the extra rows.  Node overlap is the quantity that
+// drives the TPU packet kernel's per-packet node union (BENCH_NOTES round
+// 2), which is why this builder exists.  No reference unsplitting (v1).
+// ---------------------------------------------------------------------------
+
+struct Ref {
+  int32_t id;
+  Box b;
+};
+
+inline Box box_intersect(const Box &a, const Box &b) {
+  Box r;
+  r.lo = vmax(a.lo, b.lo);
+  r.hi = vmin(a.hi, b.hi);
+  return r;
+}
+inline bool box_valid(const Box &b) {
+  return b.lo.x <= b.hi.x && b.lo.y <= b.hi.y && b.lo.z <= b.hi.z;
+}
+
+struct Poly {
+  V3 v[16];
+  int n = 0;
+};
+
+// Sutherland-Hodgman clip against one axis plane.
+static void clip_plane(Poly &p, int axis, float lim, bool keep_below) {
+  Poly out;
+  for (int i = 0; i < p.n; i++) {
+    const V3 &a = p.v[i];
+    const V3 &b = p.v[(i + 1) % p.n];
+    float da = keep_below ? (lim - a[axis]) : (a[axis] - lim);
+    float db = keep_below ? (lim - b[axis]) : (b[axis] - lim);
+    bool ina = da >= 0, inb = db >= 0;
+    if (ina) out.v[out.n++] = a;
+    if (ina != inb && out.n < 16) {
+      float t = da / (da - db);
+      out.v[out.n++] = {a.x + (b.x - a.x) * t, a.y + (b.y - a.y) * t,
+                        a.z + (b.z - a.z) * t};
+    }
+  }
+  p = out;
+}
+
+// Tight box of triangle `id` clipped to [lo, hi] along `axis`.
+static Box clipped_tri_box(const float *tv, int32_t id, int axis, float lo,
+                           float hi) {
+  const float *v = tv + (int64_t)id * 9;
+  Poly p;
+  p.n = 3;
+  p.v[0] = {v[0], v[1], v[2]};
+  p.v[1] = {v[3], v[4], v[5]};
+  p.v[2] = {v[6], v[7], v[8]};
+  clip_plane(p, axis, hi, true);
+  clip_plane(p, axis, lo, false);
+  Box b;
+  for (int i = 0; i < p.n; i++) b.grow(p.v[i], p.v[i]);
+  return b;
+}
+
+struct SBuilder {
+  const float *tv;
+  int max_leaf;
+  double alpha;        // spatial split attempted when overlap/root > alpha
+  int64_t ref_budget;  // duplication cap (total refs)
+  int64_t refs_made = 0;
+
+  std::vector<V3> nmin, nmax;
+  std::vector<int32_t> index, count;
+  std::vector<int8_t> axis;
+  std::vector<int64_t> out_perm;  // leaf refs, in leaf-range order
+  std::vector<float> out_refmin, out_refmax;  // per out ref, clipped box
+  int stats_max_leaf = 1;
+  int stats_max_depth = 0;
+  double root_area = 1.0;
+
+  int alloc(int n) {
+    int base = (int)index.size();
+    nmin.resize(base + n);
+    nmax.resize(base + n);
+    index.resize(base + n, 0);
+    count.resize(base + n, 0);
+    axis.resize(base + n, 0);
+    return base;
+  }
+
+  struct ObjSplit {
+    double cost = std::numeric_limits<double>::infinity();
+    int axis = -1;
+    float pos = 0;
+    double overlap = 0;  // surface area of L-box intersect R-box
+  };
+
+  ObjSplit find_object_split(const std::vector<Ref> &refs) const {
+    ObjSplit best;
+    for (int a = 0; a < 3; a++) {
+      float cmin = 1e30f, cmax = -1e30f;
+      for (const Ref &r : refs) {
+        float c = 0.5f * (r.b.lo[a] + r.b.hi[a]);
+        cmin = std::min(cmin, c);
+        cmax = std::max(cmax, c);
+      }
+      if (cmin == cmax) continue;
+      float scale = BINS / (cmax - cmin);
+      Box bins[BINS];
+      int64_t cnt[BINS] = {0};
+      for (const Ref &r : refs) {
+        float c = 0.5f * (r.b.lo[a] + r.b.hi[a]);
+        int bi = std::min(BINS - 1, (int)std::floor((c - cmin) * scale));
+        cnt[bi]++;
+        bins[bi].grow(r.b.lo, r.b.hi);
+      }
+      double larea[BINS - 1], rarea[BINS - 1];
+      Box lboxes[BINS - 1], rboxes[BINS - 1];
+      int64_t lcnt[BINS - 1], rcnt[BINS - 1];
+      Box lb, rb;
+      int64_t ls = 0, rs = 0;
+      for (int i = 0; i < BINS - 1; i++) {
+        ls += cnt[i];
+        lcnt[i] = ls;
+        lb.grow(bins[i].lo, bins[i].hi);
+        larea[i] = lb.area();
+        lboxes[i] = lb;
+        rs += cnt[BINS - 1 - i];
+        rcnt[BINS - 2 - i] = rs;
+        rb.grow(bins[BINS - 1 - i].lo, bins[BINS - 1 - i].hi);
+        rarea[BINS - 2 - i] = rb.area();
+        rboxes[BINS - 2 - i] = rb;
+      }
+      for (int i = 0; i < BINS - 1; i++) {
+        if (lcnt[i] == 0 || rcnt[i] == 0) continue;
+        double cost = lcnt[i] * larea[i] + rcnt[i] * rarea[i];
+        if (cost < best.cost) {
+          Box ov = box_intersect(lboxes[i], rboxes[i]);
+          best = {cost, a, cmin + (cmax - cmin) / BINS * (i + 1),
+                  box_valid(ov) ? ov.area() : 0.0};
+        }
+      }
+    }
+    return best;
+  }
+
+  struct SpatialSplit {
+    double cost = std::numeric_limits<double>::infinity();
+    int axis = -1;
+    float pos = 0;
+  };
+
+  SpatialSplit find_spatial_split(const std::vector<Ref> &refs,
+                                  const Box &node) const {
+    SpatialSplit best;
+    for (int a = 0; a < 3; a++) {
+      float lo = node.lo[a], hi = node.hi[a];
+      if (hi <= lo) continue;
+      float scale = BINS / (hi - lo);
+      float inv = (hi - lo) / BINS;
+      Box bins[BINS];
+      int64_t entry[BINS] = {0}, exit_[BINS] = {0};
+      for (const Ref &r : refs) {
+        int b0 = std::min(BINS - 1,
+                          std::max(0, (int)((r.b.lo[a] - lo) * scale)));
+        int b1 = std::min(BINS - 1,
+                          std::max(0, (int)((r.b.hi[a] - lo) * scale)));
+        if (b1 < b0) b1 = b0;
+        entry[b0]++;
+        exit_[b1]++;
+        if (b0 == b1) {
+          bins[b0].grow(r.b.lo, r.b.hi);
+        } else {
+          for (int bi = b0; bi <= b1; bi++) {
+            Box cb = clipped_tri_box(tv, r.id, a, lo + bi * inv,
+                                     bi == BINS - 1 ? hi : lo + (bi + 1) * inv);
+            cb = box_intersect(cb, r.b);
+            if (box_valid(cb)) bins[bi].grow(cb.lo, cb.hi);
+          }
+        }
+      }
+      double larea[BINS - 1], rarea[BINS - 1];
+      int64_t lcnt[BINS - 1], rcnt[BINS - 1];
+      Box lb, rb;
+      int64_t ls = 0, rs = 0;
+      for (int i = 0; i < BINS - 1; i++) {
+        ls += entry[i];
+        lcnt[i] = ls;
+        lb.grow(bins[i].lo, bins[i].hi);
+        larea[i] = lb.area();
+        rs += exit_[BINS - 1 - i];
+        rcnt[BINS - 2 - i] = rs;
+        rb.grow(bins[BINS - 1 - i].lo, bins[BINS - 1 - i].hi);
+        rarea[BINS - 2 - i] = rb.area();
+      }
+      for (int i = 0; i < BINS - 1; i++) {
+        if (lcnt[i] == 0 || rcnt[i] == 0) continue;
+        double cost = lcnt[i] * larea[i] + rcnt[i] * rarea[i];
+        if (cost < best.cost) {
+          best = {cost, a, lo + (i + 1) * inv};
+        }
+      }
+    }
+    return best;
+  }
+
+  void make_leaf(int node, std::vector<Ref> &refs) {
+    index[node] = (int32_t)out_perm.size();
+    count[node] = (int32_t)refs.size();
+    stats_max_leaf = std::max<int>(stats_max_leaf, (int)refs.size());
+    for (const Ref &r : refs) {
+      out_perm.push_back(r.id);
+      out_refmin.insert(out_refmin.end(), {r.b.lo.x, r.b.lo.y, r.b.lo.z});
+      out_refmax.insert(out_refmax.end(), {r.b.hi.x, r.b.hi.y, r.b.hi.z});
+    }
+  }
+
+  int build(std::vector<Ref> &&root_refs) {
+    struct Item {
+      int node, depth;
+      std::vector<Ref> refs;
+    };
+    int root = alloc(1);
+    {
+      Box b;
+      for (const Ref &r : root_refs) b.grow(r.b.lo, r.b.hi);
+      nmin[root] = b.lo;
+      nmax[root] = b.hi;
+      root_area = std::max(b.area(), 1e-30);
+    }
+    refs_made = (int64_t)root_refs.size();
+    std::vector<Item> stack;
+    stack.push_back({root, 0, std::move(root_refs)});
+    while (!stack.empty()) {
+      Item it = std::move(stack.back());
+      stack.pop_back();
+      int n = (int)it.refs.size();
+      stats_max_depth = std::max(stats_max_depth, it.depth);
+      Box node{nmin[it.node], nmax[it.node]};
+      if (n <= max_leaf || it.depth >= MAX_DEPTH) {
+        make_leaf(it.node, it.refs);
+        continue;
+      }
+      ObjSplit obj = find_object_split(it.refs);
+      SpatialSplit spa;
+      // Spatial split considered only when the object split's children
+      // overlap significantly (the SBVH alpha heuristic) and the ref
+      // budget allows duplication.
+      if (obj.axis >= 0 && obj.overlap / root_area > alpha &&
+          refs_made < ref_budget) {
+        spa = find_spatial_split(it.refs, node);
+      }
+      double no_split = (double)n * node.area();
+      bool use_spatial = spa.axis >= 0 && spa.cost < obj.cost;
+      double best_cost = use_spatial ? spa.cost : obj.cost;
+
+      std::vector<Ref> L, R;
+      int split_axis = -1;
+      if ((obj.axis >= 0 || use_spatial) && best_cost < no_split) {
+        if (use_spatial) {
+          split_axis = spa.axis;
+          for (Ref &r : it.refs) {
+            if (r.b.hi[spa.axis] <= spa.pos) {
+              L.push_back(r);
+            } else if (r.b.lo[spa.axis] >= spa.pos) {
+              R.push_back(r);
+            } else {
+              Box bl = box_intersect(
+                  clipped_tri_box(tv, r.id, spa.axis, -1e30f, spa.pos), r.b);
+              Box br = box_intersect(
+                  clipped_tri_box(tv, r.id, spa.axis, spa.pos, 1e30f), r.b);
+              bool vl = box_valid(bl), vr = box_valid(br);
+              if (vl && vr) {
+                L.push_back({r.id, bl});
+                R.push_back({r.id, br});
+                refs_made++;
+              } else if (vl) {
+                L.push_back({r.id, bl});
+              } else if (vr) {
+                R.push_back({r.id, br});
+              } else {
+                // degenerate clip: keep original on the nearer side
+                (0.5f * (r.b.lo[spa.axis] + r.b.hi[spa.axis]) < spa.pos ? L
+                                                                        : R)
+                    .push_back(r);
+              }
+            }
+          }
+        } else {
+          split_axis = obj.axis;
+          for (Ref &r : it.refs) {
+            float c = 0.5f * (r.b.lo[obj.axis] + r.b.hi[obj.axis]);
+            (c < obj.pos ? L : R).push_back(r);
+          }
+        }
+        if (L.empty() || R.empty()) {
+          L.clear();
+          R.clear();
+          split_axis = -1;
+        }
+      }
+      if (split_axis < 0) {
+        if (n > max_leaf) {
+          // median fallback on the widest centroid axis
+          V3 cmin{1e30f, 1e30f, 1e30f}, cmax{-1e30f, -1e30f, -1e30f};
+          for (const Ref &r : it.refs) {
+            V3 c{0.5f * (r.b.lo.x + r.b.hi.x), 0.5f * (r.b.lo.y + r.b.hi.y),
+                 0.5f * (r.b.lo.z + r.b.hi.z)};
+            cmin = vmin(cmin, c);
+            cmax = vmax(cmax, c);
+          }
+          float ext[3] = {cmax.x - cmin.x, cmax.y - cmin.y, cmax.z - cmin.z};
+          int a = 0;
+          if (ext[1] > ext[a]) a = 1;
+          if (ext[2] > ext[a]) a = 2;
+          split_axis = a;
+          std::stable_sort(it.refs.begin(), it.refs.end(),
+                           [a](const Ref &x, const Ref &y) {
+                             return 0.5f * (x.b.lo[a] + x.b.hi[a]) <
+                                    0.5f * (y.b.lo[a] + y.b.hi[a]);
+                           });
+          size_t mid = it.refs.size() / 2;
+          L.assign(it.refs.begin(), it.refs.begin() + mid);
+          R.assign(it.refs.begin() + mid, it.refs.end());
+        } else {
+          make_leaf(it.node, it.refs);
+          continue;
+        }
+      }
+      int child = alloc(2);
+      Box bl2, br2;
+      for (const Ref &r : L) bl2.grow(r.b.lo, r.b.hi);
+      for (const Ref &r : R) br2.grow(r.b.lo, r.b.hi);
+      nmin[child] = bl2.lo;
+      nmax[child] = bl2.hi;
+      nmin[child + 1] = br2.lo;
+      nmax[child + 1] = br2.hi;
+      index[it.node] = child;
+      count[it.node] = 0;
+      axis[it.node] = (int8_t)split_axis;
+      it.refs.clear();
+      it.refs.shrink_to_fit();
+      stack.push_back({child + 1, it.depth + 1, std::move(R)});
+      stack.push_back({child, it.depth + 1, std::move(L)});
+    }
+    return root;
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+// SBVH build over ONE triangle group (the flattened-scene production path).
+// perm must be sized for ref_budget entries; node buffers for
+// 2*ref_budget.  Returns node count (>0), or -1 on error; stats =
+// [max_leaf_seen, max_depth, n_refs].
+int64_t rt_build_sbvh(const float *tri_verts, int64_t n_tris,
+                      int32_t max_leaf, double alpha, double budget_factor,
+                      float *node_min, float *node_max, int32_t *node_index,
+                      int32_t *node_count, int8_t *node_axis,
+                      int32_t *hit_link, int32_t *miss_link, int64_t *perm,
+                      int32_t *stats) {
+  if (n_tris <= 0) return -1;
+  SBuilder b;
+  b.tv = tri_verts;
+  b.max_leaf = std::max<int32_t>(max_leaf, SAH_LEAF);
+  b.alpha = alpha;
+  b.ref_budget = (int64_t)(budget_factor * (double)n_tris) + 8;
+  std::vector<Ref> refs(n_tris);
+  for (int64_t i = 0; i < n_tris; i++) {
+    const float *v = tri_verts + i * 9;
+    V3 p0{v[0], v[1], v[2]}, p1{v[3], v[4], v[5]}, p2{v[6], v[7], v[8]};
+    Box bx;
+    bx.grow(p0, p0);
+    bx.grow(p1, p1);
+    bx.grow(p2, p2);
+    refs[i] = {(int32_t)i, bx};
+  }
+  int root = b.build(std::move(refs));
+  int64_t n_nodes = (int64_t)b.index.size();
+  int64_t n_refs = (int64_t)b.out_perm.size();
+  for (int64_t i = 0; i < n_nodes; i++) {
+    node_min[i * 3 + 0] = b.nmin[i].x;
+    node_min[i * 3 + 1] = b.nmin[i].y;
+    node_min[i * 3 + 2] = b.nmin[i].z;
+    node_max[i * 3 + 0] = b.nmax[i].x;
+    node_max[i * 3 + 1] = b.nmax[i].y;
+    node_max[i * 3 + 2] = b.nmax[i].z;
+  }
+  std::memcpy(node_index, b.index.data(), n_nodes * sizeof(int32_t));
+  std::memcpy(node_count, b.count.data(), n_nodes * sizeof(int32_t));
+  std::memcpy(node_axis, b.axis.data(), n_nodes * sizeof(int8_t));
+  std::memcpy(perm, b.out_perm.data(), n_refs * sizeof(int64_t));
+  std::vector<int32_t> root_vec{root};
+  thread_links(b.index, b.count, b.axis, root_vec, hit_link, miss_link);
+  stats[0] = b.stats_max_leaf;
+  stats[1] = b.stats_max_depth;
+  stats[2] = (int32_t)n_refs;
+  return n_nodes;
+}
 
 // Returns total node count, or -1 on error.  Output buffers must be sized
 // for the worst case: nodes <= 2*n_tris (and >= 1 per group); links 8x that.

@@ -48,6 +48,14 @@ def _load() -> Optional[ctypes.CDLL]:
             os.replace(tmp, so_path)
         lib = ctypes.CDLL(so_path)
         lib.rt_build_bvh.restype = ctypes.c_int64
+        lib.rt_build_sbvh.restype = ctypes.c_int64
+        lib.rt_build_sbvh.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -56,6 +64,70 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+def build_sbvh_native(
+    tri_verts: np.ndarray,
+    max_leaf_tris: int = 4,
+    alpha: float = 1e-5,
+    budget_factor: float = 1.5,
+):
+    """Spatial-split BVH (SBVH) over ONE triangle group.
+
+    Returns ``(forest, perm)`` where ``perm`` has ``n_refs >= n_tris``
+    entries mapping reference slots to ORIGINAL triangle ids — apply it to
+    per-triangle attribute arrays exactly like the plain builder's
+    permutation (duplicated rows are the cost of spatial splits).  Returns
+    None if the native library is unavailable (there is no numpy twin; the
+    pure-numpy pipeline builds the plain SAH tree instead).
+
+    ``alpha``: object-split child-overlap fraction of the root area above
+    which a spatial split is considered (Stich et al. 2009's lambda).
+    ``budget_factor``: cap on total references as a multiple of n_tris.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    from .bvh import BVHForest
+
+    t = np.ascontiguousarray(tri_verts.reshape(-1, 9), np.float32)
+    n_tris = t.shape[0]
+    budget = int(budget_factor * n_tris) + 16
+    max_nodes = 2 * budget
+    node_min = np.empty((max_nodes, 3), np.float32)
+    node_max = np.empty((max_nodes, 3), np.float32)
+    index = np.empty(max_nodes, np.int32)
+    count = np.empty(max_nodes, np.int32)
+    axis = np.empty(max_nodes, np.int8)
+    hit = np.empty(8 * max_nodes, np.int32)
+    miss = np.empty(8 * max_nodes, np.int32)
+    perm = np.empty(budget, np.int64)
+    stats = np.zeros(3, np.int32)
+
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    n_nodes = lib.rt_build_sbvh(
+        c(t), n_tris, max_leaf_tris, float(alpha), float(budget_factor),
+        c(node_min), c(node_max), c(index), c(count), c(axis),
+        c(hit), c(miss), c(perm), c(stats),
+    )
+    if n_nodes <= 0:
+        return None
+    n_refs = int(stats[2])
+    hit = hit[: 8 * n_nodes].reshape(8, n_nodes).copy()
+    miss = miss[: 8 * n_nodes].reshape(8, n_nodes).copy()
+    forest = BVHForest(
+        node_min=node_min[:n_nodes].copy(),
+        node_max=node_max[:n_nodes].copy(),
+        index=index[:n_nodes].copy(),
+        tri_count=count[:n_nodes].copy(),
+        axis=axis[:n_nodes].copy(),
+        hit_link=hit,
+        miss_link=miss,
+        roots=[0],
+        max_leaf_tris=int(max(stats[0], 1)),
+        max_depth_seen=int(stats[1]),
+    )
+    return forest, perm[:n_refs].copy()
 
 
 def build_forest_native(

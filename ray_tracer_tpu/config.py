@@ -10,7 +10,60 @@ device arrays instead.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, replace
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class Routing:
+    """Traversal-kernel routing — hermetic, hashable, a static jit key.
+
+    Promoted from ambient ``RT_*`` env vars (round-2 VERDICT): environment
+    variables are consulted only by :meth:`from_env` (the default when a
+    ``RenderConfig`` carries ``routing=None``), so passing an explicit
+    ``Routing`` makes trace-time behavior independent of process state.
+    The knobs map to the reference's single push-constant config discipline
+    (``src/vk_engine.h:160-171``) extended with TPU placement choices.
+    """
+
+    # "auto": packet kernel on TPU backends, gather walk elsewhere;
+    # "off": XLA gather walk (the CPU correctness oracle);
+    # "force": packet kernel regardless of backend;
+    # "interpret": packet kernel in Pallas interpret mode (CPU debugging).
+    packet: str = "auto"
+    # BVH8 wide kernel (True, production) vs binary packet kernel (False,
+    # escape hatch — measured slower on every scene, BENCH_NOTES round 2).
+    wide: bool = True
+    # Rays per packet; 0 = kernel default (2048, measured best on v5e).
+    packet_size: int = 0
+    # VMEM bytes for resident node/tri tables before spilling to per-visit
+    # HBM DMA ('hbm': leaf rows; 'hbm2': nodes too).
+    vmem_budget: int = 48_000_000
+    # Coherence-binning key widths (integrator): morton bits per origin
+    # axis, and extra |direction| bits inside the octant.
+    bin_bits: int = 5
+    bin_dir_bits: int = 0
+
+    @staticmethod
+    def from_env() -> "Routing":
+        """Default routing with env overrides (the tools/CLI escape hatch)."""
+        return Routing(
+            packet={"0": "off", "1": "force"}.get(
+                os.environ.get("RT_PACKET", "auto"),
+                os.environ.get("RT_PACKET", "auto"),
+            ),
+            wide=os.environ.get("RT_WIDE", "1") != "0",
+            packet_size=int(os.environ.get("RT_PACKET_SIZE", 0)),
+            vmem_budget=int(
+                os.environ.get("RT_PACKET_VMEM_BUDGET", 48_000_000)
+            ),
+            bin_bits=int(os.environ.get("RT_BIN_BITS", 5)),
+            bin_dir_bits=int(os.environ.get("RT_BIN_DIR_BITS", 0)),
+        )
+
+    def replace(self, **kw) -> "Routing":
+        return replace(self, **kw)
 
 
 @dataclass(frozen=True)
@@ -96,6 +149,12 @@ class RenderConfig:
     # "uniform" = uniform hemisphere sampling, no NEE (cornell_uniform.png).
     # Non-default modes route through the static-scan integrator.
     estimator: str = "mis"
+    # Traversal-kernel routing.  None = resolve from RT_* env vars at trace
+    # time (interactive/tools default); an explicit Routing is hermetic.
+    routing: Optional[Routing] = None
+
+    def resolved_routing(self) -> Routing:
+        return self.routing if self.routing is not None else Routing.from_env()
 
     def replace(self, **kw) -> "RenderConfig":
         return replace(self, **kw)

@@ -29,7 +29,6 @@ Radiometric semantics replicate the reference exactly, including its quirks
 
 from __future__ import annotations
 
-import os
 from typing import NamedTuple
 
 import jax
@@ -266,8 +265,9 @@ def trace(
     # NEE result only at the NEXT bounce anyway (raytrace.comp:500-517).
     # The split-launch (anyhit) path skips the slot->tri/obj mapping
     # gathers (raw=True) and shades from the matching fat-row table.
+    rt = cfg.resolved_routing()
     use_raw = bool(cfg.nee_anyhit) and not with_heatmap
-    space = traverse.prim_space(scene) if use_raw else "tri"
+    space = traverse.prim_space(scene, rt) if use_raw else "tri"
     if with_heatmap:
         hit0, (box0, tri0) = traverse.traverse_with_stats(
             scene, rays.origin, rays.direction, jnp.ones((n,), bool)
@@ -275,7 +275,7 @@ def trace(
     else:
         hit0 = traverse.traverse(
             scene, rays.origin, rays.direction, jnp.ones((n,), bool),
-            raw=use_raw,
+            raw=use_raw, routing=rt,
         )
         box0 = tri0 = jnp.zeros((), jnp.float32)
 
@@ -422,7 +422,7 @@ def trace(
             # sentinel) after diffuse bounces, preserving the reference's
             # 0/1-NEE emission suppression (raytrace.comp:500-505).
             hit_next = traverse.traverse(
-                scene, new_origin, new_dir, alive, raw=use_raw
+                scene, new_origin, new_dir, alive, raw=use_raw, routing=rt
             )
             nee_active = jnp.zeros_like(nee_active)
             l_emit = f3(0.0)
@@ -439,11 +439,11 @@ def trace(
             # scenes whose only emitters are the light rects (all presets,
             # and everything the reference ships) are unaffected.
             hit_next = traverse.traverse(
-                scene, new_origin, new_dir, alive, raw=use_raw
+                scene, new_origin, new_dir, alive, raw=use_raw, routing=rt
             )
             occluded = traverse.traverse_anyhit(
                 scene, nee_origin, l_dir, nee_active,
-                tmax=l_dist * (1.0 - 1e-3),
+                tmax=l_dist * (1.0 - 1e-3), routing=rt,
             )
             reached = nee_active & ~occluded
             l_emit = lights.rect_light_emission(scene, li)
@@ -502,12 +502,12 @@ def trace(
                 )
                 both = traverse.traverse(
                     scene, o_both[order], d_both[order], a_both[order],
-                    tmax=t_both[order],
+                    tmax=t_both[order], routing=rt,
                 )
                 both = jax.tree.map(lambda x: x[dest], both)
             else:
                 both = traverse.traverse(
-                    scene, o_both, d_both, a_both, tmax=t_both
+                    scene, o_both, d_both, a_both, tmax=t_both, routing=rt
                 )
             hit_next = jax.tree.map(lambda x: x[:n], both)
             nee_hit = jax.tree.map(lambda x: x[n:], both)
@@ -582,11 +582,7 @@ def trace(
     return color
 
 
-_BIN_BITS = int(os.environ.get("RT_BIN_BITS", 5))
-_BIN_DIR_BITS = int(os.environ.get("RT_BIN_DIR_BITS", 0))
-
-
-def _bin_key(scene: CompiledScene, origin, direction, alive):
+def _bin_key(scene: CompiledScene, origin, direction, alive, mb=5, db=0):
     """Traversal-coherence sort key: (direction octant [+ optional finer
     direction bits], origin morton cell).
 
@@ -596,11 +592,10 @@ def _bin_key(scene: CompiledScene, origin, direction, alive):
     into all-dead packets that exit at the root (~free).  Bounds come from
     the flattened BVH root box; forest scenes degrade to octant-only.
 
-    RT_BIN_BITS: morton bits per origin axis (default 5 = 32^3 cells).
-    RT_BIN_DIR_BITS: extra |direction| quantization bits per axis inside
-    the octant (default 0).  Both swept in tools/measure_union.py.
+    ``mb``: morton bits per origin axis (default 5 = 32^3 cells).
+    ``db``: extra |direction| quantization bits per axis inside the octant
+    (default 0).  Both from Routing; swept in tools/measure_union.py.
     """
-    mb, db = _BIN_BITS, _BIN_DIR_BITS
     oct_ = (
         (direction[:, 0] < 0).astype(jnp.int32)
         + 2 * (direction[:, 1] < 0).astype(jnp.int32)
@@ -666,12 +661,13 @@ def trace_wave(
     """
     n = pixel_id.shape[0]
     f3 = lambda v: jnp.full((n, 3), v, jnp.float32)
+    rt = cfg.resolved_routing()
 
     do_bin = cfg.bin_rays
     if do_bin is None:
         # auto: bin when the packet kernel runs (its node-union cost is
         # what binning shrinks); the CPU gather walk gains nothing.
-        do_bin = traverse._packet_mode(scene) != "off"
+        do_bin = traverse._packet_mode(scene, rt) != "off"
 
     def primary_rays(pix, s):
         """Camera rays for per-lane (pixel, sample index) pairs (N,)."""
@@ -701,13 +697,13 @@ def trace_wave(
         n_rays: jnp.ndarray
 
     use_raw = bool(cfg.nee_anyhit)
-    space = traverse.prim_space(scene) if use_raw else "tri"
+    space = traverse.prim_space(scene, rt) if use_raw else "tri"
     s0 = jnp.zeros((n,), jnp.int32)
     pix0 = jnp.asarray(pixel_id, jnp.int32)
     rays0 = primary_rays(pix0, sample_base + s0)
     hit0 = traverse.traverse(
         scene, rays0.origin, rays0.direction, jnp.ones((n,), bool),
-        raw=use_raw,
+        raw=use_raw, routing=rt,
     )
     init = Wave(
         origin=rays0.origin,
@@ -863,43 +859,46 @@ def trace_wave(
         if do_bin:
             # ---- coherence binning: permute every live per-lane value so
             # traversal packets share (octant, origin cell).  One packed
-            # (N, 40) row-gather moves the whole state; per-lane results
-            # are permutation-invariant, so images are bit-identical.
-            key = _bin_key(scene, new_origin, new_dir, alive)
+            # (N, 36) f32 row-gather + one (N, 5) i32 row-gather move the
+            # whole state; per-lane results are permutation-invariant, so
+            # images are bit-identical.  Integer lane state (pix, slot, j,
+            # s, li) rides the i32 pack — pix is a global pixel id, and a
+            # float32 round-trip would corrupt ids >= 2^24 (8K frames;
+            # round-2 ADVICE).
+            key = _bin_key(
+                scene, new_origin, new_dir, alive, rt.bin_bits,
+                rt.bin_dir_bits,
+            )
             order = jnp.argsort(key)
             fi = lambda x: x.astype(jnp.float32)[:, None]
             packed = jnp.concatenate(
                 [
                     new_origin, new_dir, atten, total, acc, direct_base,
                     nee_origin, l_dir, nee_k,  # 27 vector slots
-                    fi(alive), fi(bad), fi(j_cur), fi(s_cur), fi(pix),
-                    fi(slot), fi(fresh_direct), fi(is_diff),
+                    fi(alive), fi(bad),
+                    fi(fresh_direct), fi(is_diff),
                     cos_pdf_at_l[:, None], l_dist[:, None],
-                    fi(li), fi(nee_active),
+                    fi(nee_active),
                 ],
                 axis=1,
-            )
-            packed = packed[order]
+            )[order]
+            packed_i = jnp.stack([j_cur, s_cur, pix, slot, li], axis=1)[order]
             v3 = lambda k: packed[:, 3 * k : 3 * k + 3]
             (new_origin, new_dir, atten, total, acc, direct_base,
              nee_origin, l_dir, nee_k) = (v3(k) for k in range(9))
             col = lambda k: packed[:, 27 + k]
             alive = col(0) > 0.5
             bad = col(1) > 0.5
-            j_cur = col(2).astype(jnp.int32)
-            s_cur = col(3).astype(jnp.int32)
-            pix = col(4).astype(jnp.int32)
-            slot = col(5).astype(jnp.int32)
-            fresh_direct = col(6) > 0.5
-            is_diff = col(7) > 0.5
-            cos_pdf_at_l = col(8)
-            l_dist = col(9)
-            li = col(10).astype(jnp.int32)
-            nee_active = col(11) > 0.5
+            fresh_direct = col(2) > 0.5
+            is_diff = col(3) > 0.5
+            cos_pdf_at_l = col(4)
+            l_dist = col(5)
+            nee_active = col(6) > 0.5
+            j_cur, s_cur, pix, slot, li = (packed_i[:, k] for k in range(5))
 
         # ---- traverse the merged wavefront (bounce ++ regenerated primary)
         hit_next = traverse.traverse(
-                scene, new_origin, new_dir, alive, raw=use_raw
+                scene, new_origin, new_dir, alive, raw=use_raw, routing=rt
             )
 
         # ---- NEE shadow query for continuing diffuse lanes
@@ -910,7 +909,7 @@ def trace_wave(
         elif cfg.nee_anyhit:
             occluded = traverse.traverse_anyhit(
                 scene, nee_origin, l_dir, nee_active,
-                tmax=l_dist * (1.0 - 1e-3),
+                tmax=l_dist * (1.0 - 1e-3), routing=rt,
             )
             reached = nee_active & ~occluded
             l_emit = lights.rect_light_emission(scene, li)
@@ -922,7 +921,7 @@ def trace_wave(
         else:
             nee_hit = traverse.traverse(
                 scene, nee_origin, l_dir, nee_active,
-                tmax=l_dist * 1.002 + 1e-3,
+                tmax=l_dist * 1.002 + 1e-3, routing=rt,
             )
             nee_mat = jnp.where(
                 nee_hit.kind == traverse.KIND_SPHERE,

@@ -24,7 +24,6 @@ a ``lax.scan`` over instances, carrying the running closest hit so the
 
 from __future__ import annotations
 
-import os
 from typing import NamedTuple
 
 import numpy as np
@@ -32,50 +31,40 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..config import Routing
 from ..scene.types import CompiledScene
 from . import intersect
 from .intersect import BIG
 
-# Packet-kernel VMEM budget for resident tables (wide boxes+meta, and tris
-# when they fit).  v5e VMEM is 128MB; the raised scoped-vmem staging limit
-# (utils/jitting.py) leaves this much room comfortably.  48MB keeps a
-# Sponza-scale table (260k tris = ~17MB tris + ~5MB nodes) fully resident —
-# measured on a directly-attached v5e, the serialized per-leaf HBM DMA
-# variant is the dominant cost for such scenes.  Env-overridable so tests
-# can exercise the overflow routings on small scenes.
-_PACKET_VMEM_BUDGET = int(
-    os.environ.get("RT_PACKET_VMEM_BUDGET", 48_000_000)
-)
 
-
-def _packet_mode(scene: CompiledScene) -> str:
+def _packet_mode(scene: CompiledScene, routing: Routing = None) -> str:
     """'off' | 'vmem' | 'hbm' | 'hbm2' | 'interpret*' — trace-time routing.
 
-    RT_PACKET=0 forces the gather walk, =1 forces the Pallas packet kernel,
-    =interpret runs it in interpreter mode (CPU testing); default 'auto'
-    uses the kernel on TPU backends.  Placement by table size vs the VMEM
-    budget: 'vmem' = everything resident; 'hbm' = leaf rows DMA'd per
-    visit; 'hbm2' = node rows AND leaf rows DMA'd per visit (arbitrarily
-    large scenes — the pure-XLA gather walk crashes the TPU worker,
-    BENCH_NOTES r1 finding 4, so every scene size needs a packet path).
-    Interpret mode reports 'interpret:<placement>' to test each routing.
+    ``routing.packet``: "off" forces the gather walk, "force" the Pallas
+    packet kernel, "interpret" runs it in interpreter mode (CPU testing);
+    default "auto" uses the kernel on TPU backends.  Placement by table
+    size vs ``routing.vmem_budget``: 'vmem' = everything resident; 'hbm' =
+    leaf rows DMA'd per visit; 'hbm2' = node rows AND leaf rows DMA'd per
+    visit (arbitrarily large scenes — the pure-XLA gather walk trips the
+    TPU execution watchdog, BENCH_NOTES, so every scene size needs a
+    packet path).  Interpret mode reports 'interpret:<placement>' so tests
+    can pin each routing.  ``routing=None`` resolves RT_* env vars.
     """
-    mode = os.environ.get("RT_PACKET", "auto")
-    if mode == "0" or not scene.meta.get("flattened", False):
+    rt = routing if routing is not None else Routing.from_env()
+    if rt.packet == "off" or not scene.meta.get("flattened", False):
         return "off"
     # True VMEM-resident sizes: both tables are already 128-lane rows.
-    budget = int(os.environ.get("RT_PACKET_VMEM_BUDGET", _PACKET_VMEM_BUDGET))
     node_bytes = scene.wide_packed.shape[0] * 512
     tri_bytes = scene.leaf_rows.shape[0] * 512
-    if node_bytes + tri_bytes <= budget:
+    if node_bytes + tri_bytes <= rt.vmem_budget:
         placement = "vmem"
-    elif node_bytes <= budget:
+    elif node_bytes <= rt.vmem_budget:
         placement = "hbm"
     else:
         placement = "hbm2"
-    if mode == "interpret":
+    if rt.packet == "interpret":
         return "interpret:" + placement
-    if mode == "1" or jax.default_backend() in ("tpu", "axon"):
+    if rt.packet == "force" or jax.default_backend() in ("tpu", "axon"):
         return placement
     return "off"
 
@@ -118,14 +107,28 @@ def _transform_dir(inv_m, d):
     return jnp.einsum("nij,nj->ni", inv_m[:, :3, :3], d)
 
 
-def prim_space(scene: CompiledScene) -> str:
+def _use_wide(scene: CompiledScene, mode: str, routing: Routing) -> bool:
+    """Wide (BVH8) vs narrow packet kernel for a resolved packet mode.
+
+    The narrow kernel only supports fully VMEM-resident tables, so for
+    'hbm'/'hbm2' placements the wide kernel runs even when
+    ``routing.wide=False`` (graceful degradation instead of a VMEM OOM —
+    round-2 ADVICE).
+    """
+    placement = mode.split(":")[-1]
+    return routing.wide or placement in ("hbm", "hbm2")
+
+
+def prim_space(scene: CompiledScene, routing: Routing = None) -> str:
     """Which id space ``traverse(raw=True)`` reports triangle hits in.
 
     'slot': padded leaf-slot ids (wide packet kernel) — index
     ``scene.shade_slot``; 'tri': global triangle ids — ``scene.shade_tri``.
-    Static at trace time (depends on env flags + scene meta only).
+    Static at trace time (depends on routing + scene meta only).
     """
-    if _packet_mode(scene) != "off" and os.environ.get("RT_WIDE", "1") != "0":
+    rt = routing if routing is not None else Routing.from_env()
+    mode = _packet_mode(scene, rt)
+    if mode != "off" and _use_wide(scene, mode, rt):
         return "slot"
     return "tri"
 
@@ -135,9 +138,10 @@ def traverse(
     origin: jnp.ndarray,
     direction: jnp.ndarray,
     active: jnp.ndarray,
-    max_steps: int = 4096,
+    max_steps: int = None,
     tmax: jnp.ndarray = None,
     raw: bool = False,
+    routing: Routing = None,
 ) -> Hit:
     """Closest hit for a batch of world-space rays.
 
@@ -154,9 +158,17 @@ def traverse(
     :func:`prim_space` space and ``obj`` is unset (0) for triangle hits —
     callers fetch both from the fat shading row instead (2 fewer per-lane
     gathers per traversal on the hot path).
+
+    ``max_steps`` bounds the gather walk's node visits; the default scales
+    with the scene (each node is visited at most once per rope walk, so
+    ``n_nodes + 1`` can never truncate a legitimate walk — a fixed 4096
+    could silently drop hits on Sponza-scale trees, round-2 ADVICE).
     """
+    routing = routing if routing is not None else Routing.from_env()
     n = origin.shape[0]
     n_nodes = scene.bvh_index.shape[0]
+    if max_steps is None:
+        max_steps = n_nodes + 1
     max_leaf = scene.max_leaf_tris
 
     best = Hit(
@@ -196,14 +208,15 @@ def traverse(
     hit_links = scene.bvh_hit_link.reshape(-1)  # (8*B,)
     miss_links = scene.bvh_miss_link.reshape(-1)
 
-    mode = _packet_mode(scene)
+    mode = _packet_mode(scene, routing)
     if mode != "off":
         from ..kernels import packet
 
         interp = mode.startswith("interpret")
         placement = mode.split(":")[1] if interp else mode
         tmax0 = jnp.where(active, best.dst, -BIG)
-        if os.environ.get("RT_WIDE", "1") != "0":
+        psize = routing.packet_size or None
+        if _use_wide(scene, mode, routing):
             dst, prim, u, v, front = packet.packet_traverse_wide(
                 scene.wide_packed,
                 scene.leaf_rows,
@@ -212,6 +225,7 @@ def traverse(
                 tmax0,
                 0,  # entry = wide root
                 interpret=interp,
+                packet_size=psize,
                 tris_in_hbm=placement in ("hbm", "hbm2"),
                 nodes_in_hbm=placement == "hbm2",
                 max_recs=scene.meta.get(
@@ -244,6 +258,7 @@ def traverse(
                 scene.obj_bvh_root[0],
                 max_leaf=scene.max_leaf_tris,
                 interpret=interp,
+                packet_size=psize,
             )
         tri_hit = prim >= 0
         if raw:
@@ -293,6 +308,7 @@ def traverse_anyhit(
     direction: jnp.ndarray,
     active: jnp.ndarray,
     tmax: jnp.ndarray,
+    routing: Routing = None,
 ) -> jnp.ndarray:
     """Occlusion query: is there ANY hit strictly inside ``tmax``?
 
@@ -305,6 +321,7 @@ def traverse_anyhit(
 
     Returns (N,) bool; inactive lanes report unoccluded.
     """
+    routing = routing if routing is not None else Routing.from_env()
     occ = jnp.zeros((origin.shape[0],), bool)
 
     # Spheres: brute-force loop, same as traverse().
@@ -318,8 +335,8 @@ def traverse_anyhit(
     if scene.n_objects == 0 or scene.meta.get("n_tris", 0) == 0:
         return occ & active
 
-    mode = _packet_mode(scene)
-    if mode != "off" and os.environ.get("RT_WIDE", "1") != "0":
+    mode = _packet_mode(scene, routing)
+    if mode != "off" and _use_wide(scene, mode, routing):
         from ..kernels import packet
 
         interp = mode.startswith("interpret")
@@ -333,6 +350,7 @@ def traverse_anyhit(
             tmax0,
             0,
             interpret=interp,
+            packet_size=routing.packet_size or None,
             tris_in_hbm=placement in ("hbm", "hbm2"),
             nodes_in_hbm=placement == "hbm2",
             max_recs=scene.meta.get(
@@ -342,7 +360,7 @@ def traverse_anyhit(
         )
         return (occ | (dst < -1.0)) & active
 
-    hit = traverse(scene, origin, direction, active, tmax=tmax)
+    hit = traverse(scene, origin, direction, active, tmax=tmax, routing=routing)
     return (occ | (hit.kind == KIND_TRI)) & active
 
 
@@ -418,7 +436,7 @@ def traverse_with_stats(scene, origin, direction, active, tmax=None):
 
 
 def _walk(scene, hit_links, miss_links, o, d, active, best, root, obj_id,
-          stats=None, max_steps=4096):
+          stats=None, max_steps=None):
     """One stackless octant-threaded walk of a single BVH tree.
 
     ``obj_id=None``: flattened scene — the owning instance comes from the
@@ -433,6 +451,11 @@ def _walk(scene, hit_links, miss_links, o, d, active, best, root, obj_id,
     """
     n = o.shape[0]
     n_nodes = scene.bvh_index.shape[0]
+    if max_steps is None:
+        # each node is visited at most once per rope walk, so this bound
+        # can never truncate a legitimate walk (round-2 ADVICE: a fixed
+        # 4096 silently dropped hits on large trees)
+        max_steps = n_nodes + 1
     max_leaf = scene.max_leaf_tris
     inv_dir = 1.0 / d
     octant = (

@@ -25,6 +25,12 @@ def _mat_index(b: SceneBuilder, names: Dict[str, int], ref: Union[int, str]) -> 
 def builder_from_dict(doc: Dict[str, Any], base_dir: str = ".") -> SceneBuilder:
     b = SceneBuilder()
     names: Dict[str, int] = {}
+    # Texture slots registered BEFORE objects: the serialized material
+    # *_tex indices point into this prefix; MTL-ingested textures re-append
+    # after it with consistently shifted indices on their own materials.
+    for t in doc.get("textures", []):
+        path = t if os.path.isabs(t) else os.path.join(base_dir, t)
+        b.add_texture(path)
     for m in doc.get("materials", []):
         idx = b.add_material(
             Material(
@@ -33,6 +39,10 @@ def builder_from_dict(doc: Dict[str, Any], base_dir: str = ".") -> SceneBuilder:
                 emission_strength=float(m.get("emission_strength", 0.0)),
                 reflectance=float(m.get("reflectance", 0.0)),
                 ior=float(m.get("ior", -1.0)),
+                albedo_tex=int(m.get("albedo_tex", -1)),
+                metalness_tex=int(m.get("metalness_tex", -1)),
+                alpha_tex=int(m.get("alpha_tex", -1)),
+                bump_tex=int(m.get("bump_tex", -1)),
                 name=m.get("name", ""),
             )
         )
@@ -126,17 +136,23 @@ def builder_to_dict(b: SceneBuilder) -> Dict[str, Any]:
                 "name": call["name"],
             }
         )
+    if b._texture_paths:
+        # add_texture state (round-2 ADVICE: omitting it silently
+        # round-tripped textured scenes to untextured ones)
+        doc["textures"] = list(b._texture_paths)
     for m in b.materials:
-        doc["materials"].append(
-            {
-                "name": m.name,
-                "albedo": list(m.albedo),
-                "emission_color": list(m.emission_color),
-                "emission_strength": m.emission_strength,
-                "reflectance": m.reflectance,
-                "ior": m.ior,
-            }
-        )
+        md = {
+            "name": m.name,
+            "albedo": list(m.albedo),
+            "emission_color": list(m.emission_color),
+            "emission_strength": m.emission_strength,
+            "reflectance": m.reflectance,
+            "ior": m.ior,
+        }
+        for attr in ("albedo_tex", "metalness_tex", "alpha_tex", "bump_tex"):
+            if getattr(m, attr) >= 0:
+                md[attr] = getattr(m, attr)
+        doc["materials"].append(md)
     for s in b.spheres:
         doc["spheres"].append(
             {"position": list(s.position), "radius": s.radius,

@@ -159,6 +159,11 @@ class ViewerState:
         from .scene.builder import SceneBuilder
 
         self.lock = threading.Lock()
+        # Serializes whole edit transactions (mutate builder -> compile ->
+        # swap scene): ThreadingHTTPServer handles requests concurrently,
+        # and two interleaved POST /edit mutations could compile a
+        # half-applied scene (round-2 ADVICE).
+        self.edit_lock = threading.Lock()
         # Accepting the BUILDER (not just the compiled scene) is what makes
         # live editing possible: edits mutate builder descriptors and
         # recompile, the TPU-shaped analogue of the reference's ImGui
@@ -245,6 +250,10 @@ class ViewerState:
         """
         if self.builder is None:
             return {"error": "viewer was started without a SceneBuilder"}
+        with self.edit_lock:
+            return self._apply_edit_locked(doc)
+
+    def _apply_edit_locked(self, doc: dict) -> dict:
         from .scene.types import SphereDesc
         from .utils.transforms import trs_matrix
 

@@ -6,9 +6,9 @@ deterministic CPU renders checked against committed float16 goldens.
 Guards the integrator's radiometric semantics against drift.
 
 Each golden is checked through BOTH traversal backends: the XLA gather
-walk (RT_PACKET=0, the oracle) and the production Pallas packet kernel in
-interpret mode (RT_PACKET=interpret — the same kernel code the TPU runs),
-so a TPU-vs-CPU image divergence in the kernel path fails the golden, not
+walk (Routing(packet="off"), the oracle) and the production Pallas packet
+kernel in interpret mode (the same kernel code the TPU runs), so a
+TPU-vs-CPU image divergence in the kernel path fails the golden, not
 just the traversal-level equivalence tests in test_packet.py.
 """
 
@@ -18,13 +18,14 @@ import numpy as np
 import pytest
 
 from ray_tracer_tpu import RenderConfig, render
+from ray_tracer_tpu.config import Routing
 from ray_tracer_tpu.scene import presets
 
 CFG = RenderConfig(width=40, height=40, samples_per_pixel=8, bounce_limit=6)
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 
-@pytest.mark.parametrize("packet_mode", ["0", "interpret"])
+@pytest.mark.parametrize("packet_mode", ["off", "interpret"])
 @pytest.mark.parametrize(
     "name,builder",
     [
@@ -36,10 +37,7 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 def test_golden(name, builder, packet_mode):
     path = os.path.join(GOLDEN_DIR, f"{name}_40x40_8spp.npy")
     golden = np.load(path).astype(np.float32)
-    os.environ["RT_PACKET"] = packet_mode
-    try:
-        img = np.asarray(render(builder().compile().device_put(), CFG))
-    finally:
-        os.environ.pop("RT_PACKET", None)
+    cfg = CFG.replace(routing=Routing(packet=packet_mode))
+    img = np.asarray(render(builder().compile().device_put(), cfg))
     # float16 quantization of the golden + cross-backend FMA noise
     np.testing.assert_allclose(img, golden, atol=2e-3)

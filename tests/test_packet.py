@@ -7,7 +7,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from ray_tracer_tpu.config import Routing
 from ray_tracer_tpu.ops import traverse
+
+OFF = Routing(packet="off")
+INTERP = Routing(packet="interpret")
 from ray_tracer_tpu.scene import presets
 from ray_tracer_tpu.scene.builder import SceneBuilder
 from ray_tracer_tpu.scene.types import Material
@@ -34,13 +38,8 @@ def _random_mesh_scene(rand, n_tris=120):
 
 
 def _compare(scene, origin, direction, active):
-    os.environ["RT_PACKET"] = "0"
-    ref = traverse.traverse(scene, origin, direction, active)
-    os.environ["RT_PACKET"] = "interpret"
-    try:
-        got = traverse.traverse(scene, origin, direction, active)
-    finally:
-        os.environ["RT_PACKET"] = "0"
+    ref = traverse.traverse(scene, origin, direction, active, routing=OFF)
+    got = traverse.traverse(scene, origin, direction, active, routing=INTERP)
     np.testing.assert_array_equal(np.asarray(ref.did_hit), np.asarray(got.did_hit))
     m = np.asarray(ref.did_hit)
     np.testing.assert_allclose(
@@ -66,11 +65,8 @@ def test_packet_respects_active_mask(rand):
     d = rand.normal(size=(n, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     active = jnp.asarray(rand.uniform(size=n) < 0.5)
-    os.environ["RT_PACKET"] = "interpret"
-    try:
-        got = traverse.traverse(scene, origin, jnp.asarray(d), active)
-    finally:
-        os.environ["RT_PACKET"] = "0"
+    got = traverse.traverse(scene, origin, jnp.asarray(d), active,
+                            routing=INTERP)
     assert not np.any(np.asarray(got.did_hit)[~np.asarray(active)])
 
 
@@ -80,15 +76,8 @@ def test_packet_cornell_render_matches(assets_dir):
 
     scene = presets.default_scene(assets_dir).compile().device_put()
     cfg = RenderConfig(width=16, height=16, samples_per_pixel=2, bounce_limit=3)
-    os.environ["RT_PACKET"] = "0"
-    a = np.asarray(render(scene, cfg))
-    os.environ["RT_PACKET"] = "interpret"
-    try:
-        # different max_rays_per_batch only changes the static jit key (same
-        # math), forcing a retrace so the env switch takes effect
-        b = np.asarray(render(scene, cfg.replace(max_rays_per_batch=999_983)))
-    finally:
-        os.environ["RT_PACKET"] = "0"
+    a = np.asarray(render(scene, cfg.replace(routing=OFF)))
+    b = np.asarray(render(scene, cfg.replace(routing=INTERP)))
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
@@ -120,14 +109,10 @@ def test_wide_packet_matches_walk(rand):
     origin = jnp.asarray(rand.uniform(-4, 4, (n, 3)).astype(np.float32))
     d = rand.normal(size=(n, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    os.environ["RT_PACKET"] = "0"
-    ref = traverse.traverse(scene, origin, jnp.asarray(d), jnp.ones(n, bool))
-    os.environ["RT_PACKET"] = "interpret"
-    os.environ["RT_WIDE"] = "1"
-    try:
-        got = traverse.traverse(scene, origin, jnp.asarray(d), jnp.ones(n, bool))
-    finally:
-        os.environ["RT_PACKET"] = "0"
+    ref = traverse.traverse(scene, origin, jnp.asarray(d), jnp.ones(n, bool),
+                            routing=OFF)
+    got = traverse.traverse(scene, origin, jnp.asarray(d), jnp.ones(n, bool),
+                            routing=INTERP.replace(wide=True))
     np.testing.assert_array_equal(np.asarray(ref.did_hit), np.asarray(got.did_hit))
     m = np.asarray(ref.did_hit)
     np.testing.assert_allclose(
@@ -170,14 +155,13 @@ def test_anyhit_matches_closest_occlusion(rand):
     active = jnp.asarray(rand.uniform(size=n) < 0.8)
     tmax = jnp.asarray(rand.uniform(0.5, 8.0, n).astype(np.float32))
 
-    os.environ["RT_PACKET"] = "0"
-    ref_hit = traverse.traverse(scene, origin, d, active, tmax=tmax)
+    ref_hit = traverse.traverse(scene, origin, d, active, tmax=tmax,
+                                routing=OFF)
     ref_occ = np.asarray(ref_hit.did_hit & active)
-    os.environ["RT_PACKET"] = "interpret"
-    try:
-        got = np.asarray(traverse.traverse_anyhit(scene, origin, d, active, tmax))
-    finally:
-        os.environ["RT_PACKET"] = "0"
+    got = np.asarray(
+        traverse.traverse_anyhit(scene, origin, d, active, tmax,
+                                 routing=INTERP)
+    )
     np.testing.assert_array_equal(got, ref_occ)
 
 
@@ -199,7 +183,7 @@ def test_nee_anyhit_render_matches_closest(assets_dir):
     assert (diff > 5e-3).mean() < 0.005, diff.max()
 
 
-def test_hbm_routing_variants_match(monkeypatch):
+def test_hbm_routing_variants_match():
     """'vmem' / 'hbm' / 'hbm2' placements return identical hits.
 
     Shrinking the VMEM budget on a small scene forces the leaf-DMA and
@@ -222,25 +206,39 @@ def test_hbm_routing_variants_match(monkeypatch):
     rays = wavefront.raygen(rot, pos, fov, aspect, near, ids, 64, 64)
     active = jnp.ones((64 * 64,), bool)
 
-    monkeypatch.setenv("RT_PACKET", "interpret")
     results = {}
     # cornell tables: nodes 6*512B, leaves 26*512B
-    for label, budget in (("vmem", "48000000"), ("hbm", "6000"),
-                          ("hbm2", "512")):
-        monkeypatch.setenv("RT_PACKET_VMEM_BUDGET", budget)
-        assert traverse._packet_mode(scene) == "interpret:" + label
+    for label, budget in (("vmem", 48_000_000), ("hbm", 6000),
+                          ("hbm2", 512)):
+        rt = INTERP.replace(vmem_budget=budget)
+        assert traverse._packet_mode(scene, rt) == "interpret:" + label
         hit = traverse.traverse(
-            scene, rays.origin, rays.direction, active
+            scene, rays.origin, rays.direction, active, routing=rt
         )
         occ = traverse.traverse_anyhit(
             scene, rays.origin, rays.direction, active,
-            tmax=jnp.full((64 * 64,), 2.0),
+            tmax=jnp.full((64 * 64,), 2.0), routing=rt,
         )
         results[label] = (np.asarray(hit.dst), np.asarray(hit.prim),
                          np.asarray(occ))
     for label in ("hbm", "hbm2"):
         for a, b in zip(results["vmem"], results[label]):
             assert np.array_equal(a, b), label
+
+
+def test_env_overrides_default_routing(monkeypatch):
+    """RT_* env vars shape the DEFAULT routing (no explicit Routing given);
+    an explicit Routing is hermetic and ignores them."""
+    monkeypatch.setenv("RT_PACKET", "0")
+    monkeypatch.setenv("RT_WIDE", "0")
+    monkeypatch.setenv("RT_PACKET_VMEM_BUDGET", "1234")
+    rt = Routing.from_env()
+    assert rt.packet == "off" and not rt.wide and rt.vmem_budget == 1234
+    monkeypatch.setenv("RT_PACKET", "interpret")
+    assert Routing.from_env().packet == "interpret"
+    # explicit Routing wins over env in _packet_mode
+    scene = presets.default_scene().compile()
+    assert traverse._packet_mode(scene, Routing(packet="off")) == "off"
 
 
 def test_merged_leaf_slots_match(rand):
