@@ -41,12 +41,17 @@ def main() -> None:
     spp = int(os.environ.get("RT_BENCH_SPP", 2))
     scene_name = os.environ.get("RT_BENCH_SCENE", "sponza_proxy")
 
-    # 2^18-ray tiles measured best with the binned+drained wavefront (row
-    # gathers amortize with size); still bounded for XLA's scoped-VMEM
-    # staging of the pallas launches (see utils/jitting.py).
+    # WHOLE-FRAME wavefront (round 3): one tile spanning every pixel.
+    # Coherence binning improves with population — each (octant, morton
+    # cell) bucket fills with rays from the entire frame, so traversal
+    # packets get tighter unions (sim: union 2193@4k rays -> 1404@38k and
+    # still falling; bench: 1.57 -> 2.33 Mrays/s from 2^18 -> 2^21).  A
+    # frame at spp2 is ~10 s of device time, still under the ~60-90 s TPU
+    # execution watchdog; higher-spp runs stay per-spp-chunked via
+    # max_spp_per_dispatch.
     cfg = RenderConfig(
         width=width, height=height, bounce_limit=8,
-        max_rays_per_batch=1 << int(os.environ.get("RT_BENCH_TILE_LOG2", 18)),
+        max_rays_per_batch=1 << int(os.environ.get("RT_BENCH_TILE_LOG2", 21)),
     )
     if scene_name == "sponza_proxy":
         # BASELINE config 5 workload: Sponza-scale (~260k tris); the real

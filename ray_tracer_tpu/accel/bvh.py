@@ -254,12 +254,16 @@ def build_forest(
     groups: Sequence[Tuple[int, int]],
     max_leaf_tris: int = 4,
     use_native: bool = True,
+    spatial: bool = False,
 ) -> Tuple[BVHForest, np.ndarray]:
     """Build one BVH per (offset, count) triangle group.
 
     Returns the forest and the permutation mapping new (reordered) triangle
     slots to original triangle indices — apply it once to every per-triangle
-    attribute array.
+    attribute array.  With ``spatial=True`` (single-group scenes only) the
+    native SBVH builder runs instead: spatial splits duplicate triangle
+    *references*, so the permutation may be LONGER than the input (fancy
+    indexing with it duplicates attribute rows — exactly what leaves need).
 
     Dispatches to the C++ builder (accel/native.py) when available — numpy
     SAH takes minutes on Sponza-class meshes; set use_native=False (or env
@@ -267,11 +271,18 @@ def build_forest(
     """
     import os as _os
 
-    if (
+    native_ok = (
         use_native
         and tri_verts.shape[0] > 1
         and _os.environ.get("RT_NATIVE_BVH", "1") != "0"
-    ):
+    )
+    if spatial and len(groups) == 1 and native_ok:
+        from . import native
+
+        out = native.build_sbvh_native(tri_verts, max_leaf_tris)
+        if out is not None:
+            return out
+    if native_ok:
         from . import native
 
         out = native.build_forest_native(tri_verts, groups, max_leaf_tris)

@@ -183,6 +183,7 @@ class SceneBuilder:
         max_leaf_tris: int = None,
         flatten_instances: bool = True,
         merge_wide_leaves: bool = None,
+        spatial_splits: bool = None,
     ) -> CompiledScene:
         """Flatten to device arrays.
 
@@ -235,8 +236,14 @@ class SceneBuilder:
             uvs = np.concatenate(uv_l)
             front_only = np.concatenate(fo_l)
             tri_obj = np.concatenate(obj_l)
+            if spatial_splits is None:
+                # SBVH by default on the flattened production path: spatial
+                # splits shrink node overlap, the quantity driving the
+                # packet kernel's per-packet node union (BENCH_NOTES r2/r3).
+                spatial_splits = os.environ.get("RT_SBVH", "1") != "0"
             forest, perm = build_forest(
-                positions, [(0, positions.shape[0])], max_leaf_tris
+                positions, [(0, positions.shape[0])], max_leaf_tris,
+                spatial=spatial_splits,
             )
             positions = positions[perm]
             normals = normals[perm]
@@ -427,8 +434,16 @@ class SceneBuilder:
             # default stays off — kept as a tuning point for future
             # scenes/kernels.
             if merge_wide_leaves is None:
-                merge_wide_leaves = False
-            wide_leaf_recs = 16 if merge_wide_leaves else (
+                # Auto: single-row sibling merge on 8-record scenes — packs
+                # partial sibling leaves (fill averages 5.8/8 on the
+                # hardened proxy) into full shared rows, cutting leaf
+                # VISITS at zero per-visit cost (same 8-record unroll, same
+                # one-row load).  The 16-record/two-row variant measured a
+                # wash (r2) and stays opt-in via True.  4-record scenes
+                # keep the cheaper 4-unroll -> no merge (goldens exact).
+                merge_wide_leaves = "8" if max_leaf_tris > 4 else False
+            rec_cap = 16 if merge_wide_leaves is True else 8
+            wide_leaf_recs = rec_cap if merge_wide_leaves else (
                 4 if max_leaf_tris <= 4 else 8
             )
             leaf_rows_list = []
@@ -447,9 +462,12 @@ class SceneBuilder:
                         nonlocal gcnt
                         if not group:
                             return
+                        # slot is the FIRST ROW index (the kernel decodes
+                        # (-code-1)//16 and loads rows_per_slot rows at it;
+                        # leaf_map[slot*8+k] stays aligned in both layouts)
                         slot = len(leaf_rows_list)
-                        block = np.full((16, 16), np.nan, f32)
-                        ids = np.zeros(16, i32)
+                        block = np.full((rec_cap, 16), np.nan, f32)
+                        ids = np.zeros(rec_cap, i32)
                         box = group[0][2].copy()
                         off = 0
                         for st, c, bx in group:
@@ -460,8 +478,10 @@ class SceneBuilder:
                             box[0:3] = np.minimum(box[0:3], bx[0:3])
                             box[3:6] = np.maximum(box[3:6], bx[3:6])
                             off += c
-                        leaf_rows_list.append(block[:8].reshape(128))
-                        leaf_rows_list.append(block[8:].reshape(128))
+                        for r in range(rec_cap // 8):
+                            leaf_rows_list.append(
+                                block[8 * r : 8 * r + 8].reshape(128)
+                            )
                         leaf_map_list.append(ids)
                         # payload cnt is informational only (the kernel
                         # decodes just the slot, //16); cap to keep the
@@ -478,7 +498,7 @@ class SceneBuilder:
                             continue  # empty slot
                         cnt = int(slot_meta[w, c, 1])
                         if cnt > 0:
-                            if gcnt + cnt > 16:
+                            if gcnt + cnt > rec_cap:
                                 flush()
                             group.append(
                                 (int(slot_meta[w, c, 0]), cnt, box)
