@@ -553,7 +553,14 @@ struct SBuilder {
               Box br = box_intersect(
                   clipped_tri_box(tv, r.id, spa.axis, spa.pos, 1e30f), r.b);
               bool vl = box_valid(bl), vr = box_valid(br);
-              if (vl && vr) {
+              // The budget is a HARD cap (the caller's perm buffer is
+              // sized by it): once reached, straddlers stop duplicating
+              // and go whole to the nearer side.
+              if (vl && vr && refs_made >= ref_budget) {
+                (0.5f * (r.b.lo[spa.axis] + r.b.hi[spa.axis]) < spa.pos ? L
+                                                                        : R)
+                    .push_back(r);
+              } else if (vl && vr) {
                 L.push_back({r.id, bl});
                 R.push_back({r.id, br});
                 refs_made++;

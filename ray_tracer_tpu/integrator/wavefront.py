@@ -125,6 +125,8 @@ def _shade_fetch(scene: CompiledScene, rays: CameraRays, hit: traverse.Hit,
         ior = srow[:, 23]
         tex_id = srow[:, 24].astype(jnp.int32)
         sampler = srow[:, 25].astype(jnp.int32)
+        metal_tex = srow[:, 29].astype(jnp.int32)
+        alpha_tex = srow[:, 30].astype(jnp.int32)
     else:
         # Forest mode (quirk Q11 compat path): instances SHARE triangles,
         # so material/sampler belong to the instance, not the row.
@@ -139,6 +141,8 @@ def _shade_fetch(scene: CompiledScene, rays: CameraRays, hit: traverse.Hit,
         ior = scene.mat_ior[mat]
         tex_id = scene.mat_albedo_tex[mat]
         sampler = scene.obj_sampler[obj_i]
+        metal_tex = scene.mat_metalness_tex[mat]
+        alpha_tex = scene.mat_alpha_tex[mat]
 
     if scene.n_spheres > 0:
         is_sphere = hit.kind == traverse.KIND_SPHERE
@@ -164,8 +168,48 @@ def _shade_fetch(scene: CompiledScene, rays: CameraRays, hit: traverse.Hit,
         )
         ior = jnp.where(is_sphere, scene.mat_ior[smat], ior)
         tex_id = jnp.where(is_sphere, scene.mat_albedo_tex[smat], tex_id)
+        metal_tex = jnp.where(
+            is_sphere, scene.mat_metalness_tex[smat], metal_tex
+        )
+        alpha_tex = jnp.where(is_sphere, scene.mat_alpha_tex[smat], alpha_tex)
 
-    return hp, normal, uv, albedo, emission, reflectance, ior, tex_id, sampler
+    return (hp, normal, uv, albedo, emission, reflectance, ior, tex_id,
+            sampler, metal_tex, alpha_tex)
+
+
+def _apply_material_maps(scene, cfg, uv, sampler, albedo, emission,
+                         reflectance, tex_id, metal_tex, alpha_tex):
+    """Sample albedo/metalness/alpha maps into the per-hit material params.
+
+    Capability extension of reference quirk Q1: the snapshot shader binds
+    the maps but never samples them, while its host plumbs map_Kd/map_Ks/
+    map_d into per-material slots (``src/vk_engine.cpp:1109-1141``) and the
+    gallery proves an earlier shader consumed them (renders/rb_mtlmap.png,
+    squeezer_mtlmap.png).  Semantics implemented:
+
+    * albedo map multiplies the material albedo (as before);
+    * metalness map's red channel REPLACES ``reflectance`` (the
+      reflectance!=0 dispatch then routes bright texels to the mirror
+      lobe — rb_mtlmap's metal trim);
+    * alpha map's red channel < 0.5 marks the hit as a CUTOUT: the caller
+      turns the lane into a pass-through delta bounce (the surface, and
+      its emission, are skipped).
+
+    Returns (albedo, emission, reflectance, cutout).
+    """
+    cutout = jnp.zeros(uv.shape[:1], bool)
+    if not (cfg.enable_textures and scene.meta.get("n_textures", 0) > 0):
+        return albedo, emission, reflectance, cutout
+    tex_rgb = _sample_texture(scene, tex_id, uv, sampler)
+    albedo = jnp.where((tex_id >= 0)[:, None], albedo * tex_rgb, albedo)
+    if scene.meta.get("n_metalness_maps", 0) > 0:
+        m_rgb = _sample_texture(scene, metal_tex, uv, sampler)
+        reflectance = jnp.where(metal_tex >= 0, m_rgb[:, 0], reflectance)
+    if scene.meta.get("n_alpha_maps", 0) > 0:
+        a_rgb = _sample_texture(scene, alpha_tex, uv, sampler)
+        cutout = (alpha_tex >= 0) & (a_rgb[:, 0] < 0.5)
+        emission = jnp.where(cutout[:, None], 0.0, emission)
+    return albedo, emission, reflectance, cutout
 
 
 def _sample_texture(scene: CompiledScene, tex_id, uv, sampler):
@@ -298,12 +342,13 @@ def trace(
         did = carry.alive & hit.did_hit
 
         (hp, normal, uv, albedo, emission, reflectance, ior, tex_id,
-         sampler) = _shade_fetch(
+         sampler, metal_tex, alpha_tex) = _shade_fetch(
             scene, CameraRays(carry.origin, carry.direction), hit, space
         )
-        if cfg.enable_textures and scene.meta.get("n_textures", 0) > 0:
-            tex_rgb = _sample_texture(scene, tex_id, uv, sampler)
-            albedo = jnp.where((tex_id >= 0)[:, None], albedo * tex_rgb, albedo)
+        albedo, emission, reflectance, cutout = _apply_material_maps(
+            scene, cfg, uv, sampler, albedo, emission, reflectance,
+            tex_id, metal_tex, alpha_tex,
+        )
 
         # ---- pending light resolve (raytrace.comp:500-505)
         was_delta = carry.direct[:, 0] == -1.0
@@ -385,6 +430,12 @@ def trace(
         sec_rad = albedo if cfg.tint_spec_diel else 1.0
         radiance = jnp.where(is_diff[:, None], rad_diff, sec_rad)
         origin_sign = jnp.where(is_diel, sign_diel, 1.0)
+        # alpha cutout: the surface is skipped — a pass-through delta
+        # bounce (same direction, radiance 1, no NEE; emission already
+        # zeroed in _apply_material_maps)
+        new_dir = jnp.where(cutout[:, None], carry.direction, new_dir)
+        radiance = jnp.where(cutout[:, None], 1.0, radiance)
+        is_diff = is_diff & ~cutout
 
         atten = carry.atten * jnp.where(alive[:, None], radiance, 1.0)
 
@@ -407,6 +458,9 @@ def trace(
             nee_active = jnp.zeros_like(nee_active)
 
         new_origin = hp + normal * (origin_sign * 1e-5)[:, None]
+        new_origin = jnp.where(
+            cutout[:, None], hp + carry.direction * 1e-4, new_origin
+        )
         new_origin = jnp.where(alive[:, None], new_origin, carry.origin)
         new_dir = jnp.where(alive[:, None], new_dir, carry.direction)
 
@@ -732,14 +786,13 @@ def trace_wave(
         did = w.alive & hit.did_hit
 
         (hp, normal, uv, albedo, emission, reflectance, ior, tex_id,
-         sampler) = _shade_fetch(
+         sampler, metal_tex, alpha_tex) = _shade_fetch(
             scene, CameraRays(w.origin, w.direction), hit, space
         )
-        if cfg.enable_textures and scene.meta.get("n_textures", 0) > 0:
-            tex_rgb = _sample_texture(scene, tex_id, uv, sampler)
-            albedo = jnp.where(
-                (tex_id >= 0)[:, None], albedo * tex_rgb, albedo
-            )
+        albedo, emission, reflectance, cutout = _apply_material_maps(
+            scene, cfg, uv, sampler, albedo, emission, reflectance,
+            tex_id, metal_tex, alpha_tex,
+        )
 
         # ---- pending light resolve (raytrace.comp:500-505)
         was_delta = w.direct[:, 0] == -1.0
@@ -814,6 +867,10 @@ def trace_wave(
         sec_rad = albedo if cfg.tint_spec_diel else 1.0
         radiance = jnp.where(is_diff[:, None], rad_diff, sec_rad)
         origin_sign = jnp.where(is_diel, sign_diel, 1.0)
+        # alpha cutout: pass-through delta bounce (see _apply_material_maps)
+        new_dir = jnp.where(cutout[:, None], w.direction, new_dir)
+        radiance = jnp.where(cutout[:, None], 1.0, radiance)
+        is_diff = is_diff & ~cutout
         atten = w.atten * jnp.where(shaded[:, None], radiance, 1.0)
 
         # ---- russian roulette (raytrace.comp:519-524)
@@ -834,6 +891,9 @@ def trace_wave(
 
         prim = primary_rays(w.pix, sample_base + s_new)
         bounce_origin = hp + normal * (origin_sign * 1e-5)[:, None]
+        bounce_origin = jnp.where(
+            cutout[:, None], hp + w.direction * 1e-4, bounce_origin
+        )
         new_origin = jnp.where(
             continuing[:, None],
             bounce_origin,

@@ -399,8 +399,8 @@ class SceneBuilder:
         # Layout: 0-8 vn | 9-14 uv | 15 degen | 16-18 albedo |
         # 19-21 emission*strength | 22 reflectance | 23 ior |
         # 24 albedo_tex | 25 sampler | 26 material id | 27 instance id |
-        # 28 global tri id | 29-31 pad.  Ints are held as f32 VALUES
-        # (exact below 2^24).
+        # 28 global tri id | 29 metalness_tex | 30 alpha_tex | 31 pad.
+        # Ints are held as f32 VALUES (exact below 2^24).
         mat_albedo_arr = mf("albedo", (3,))
         mat_emis_arr = mf("emission_color", (3,)) * mf("emission_strength")[:, None]
         tmat = obj_mat[tri_obj] if n_tris else np.zeros(1, i32)
@@ -415,6 +415,8 @@ class SceneBuilder:
         shade_tri[:, 26] = tmat.astype(f32)
         shade_tri[:, 27] = tri_obj.astype(f32) if n_tris else 0.0
         shade_tri[:, 28] = np.arange(max(n_tris, 1), dtype=f32)
+        shade_tri[:, 29] = mi("metalness_tex")[tmat].astype(f32)
+        shade_tri[:, 30] = mi("alpha_tex")[tmat].astype(f32)
 
         # BVH8 for the wide packet kernel (single-tree scenes only)
         if flattened:
@@ -637,6 +639,8 @@ class SceneBuilder:
                 "n_lights": n_li,
                 "n_materials": m,
                 "n_textures": len(self._texture_paths),
+                "n_metalness_maps": int(sum(m.metalness_tex >= 0 for m in mats)),
+                "n_alpha_maps": int(sum(m.alpha_tex >= 0 for m in mats)),
                 "n_tris": int(positions.shape[0]) if self._groups else 0,
                 "max_leaf_tris": forest.max_leaf_tris,
                 "wide_leaf_recs": wide_leaf_recs,

@@ -257,6 +257,59 @@ def dread_demo(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
     return b
 
 
+def mtlmap_demo(
+    model: str, metalness: bool = True, assets: str = DEFAULT_ASSETS,
+    scale: float = 0.6, rotation_deg=(0.0, 0.0, 0.0), position=None,
+) -> SceneBuilder:
+    """Reconstruction of the textured-weapon gallery renders
+    (renders/rb_mtlmap.png, squeezer_mtlmap.png, slosher_cornell.png):
+    ``{model}.obj`` lying on the Cornell floor with its albedo map
+    ``{model}_alb.png`` and (for the mtlmap shots) its metalness map
+    ``{model}_mtl.png`` driving the reflectance lobe.  The shipped objs
+    carry no .mtl — the maps were assigned interactively in the reference
+    session (like dread_demo), recreated here via add_texture.  Exercises
+    the map_Ks metalness plumbing of src/vk_engine.cpp:1118-1124."""
+    b = SceneBuilder()
+    default_materials(b)
+    # rest the model on the floor (y-down, floor at +0.5): the meshes span
+    # roughly y in [-0.6, 0.25] and x in [-0.6, 1.2] (muzzle along +x)
+    bounds = {
+        "rb": (0.19, 0.28), "squeezer": (0.15, 0.51), "slosher": (0.24, 0.34)
+    }
+    ymax, xc = bounds.get(model, (0.2, 0.3))
+    if position is None:
+        position = (-scale * xc, 0.5 - scale * ymax, 0.0)
+    b.add_obj(
+        os.path.join(assets, f"{model}.obj"),
+        material=WHITE,
+        position=position,
+        rotation_deg=rotation_deg,
+        scale=scale,
+        sampler=1,
+        name=model,
+    )
+    cornell_box(b, assets)
+    alb = b.add_texture(os.path.join(assets, f"{model}_alb.png"))
+    mtl = (
+        b.add_texture(os.path.join(assets, f"{model}_mtl.png"))
+        if metalness
+        else -1
+    )
+    m = b.add_material(
+        Material(albedo=(1.0, 1.0, 1.0), albedo_tex=alb, metalness_tex=mtl,
+                 name=model)
+    )
+    for _, inst in b.instances:
+        if inst.name == model:
+            inst.material = m
+    # same +z viewpoint as dread_texture.png: the screenshots show red on
+    # the LEFT, i.e. the mirrored-wall side of the default pose
+    b.set_camera(
+        Camera(position=(0.0, -0.5, 3.5), angles_deg=(4.0, 180.0, 0.0))
+    )
+    return b
+
+
 def mesh_scene(
     obj_name: str,
     material: int = DIELECTRIC,

@@ -160,6 +160,20 @@ def main():
             {},
             {},
         ),
+        # textured-weapon gallery: albedo + metalness maps assigned via
+        # add_texture (the objs ship without .mtl; map slots per
+        # src/vk_engine.cpp:1109-1141)
+        "rb_mtlmap": (presets.mtlmap_demo("rb"), {}, {}),
+        "squeezer_mtlmap": (presets.mtlmap_demo("squeezer"), {}, {}),
+        # slosher floats mid-box, nose down (screenshot pose)
+        "slosher_cornell": (
+            presets.mtlmap_demo(
+                "slosher", position=(0.12, -0.12, 0.0),
+                rotation_deg=(0.0, 180.0, -70.0),
+            ),
+            {},
+            {},
+        ),
         # full-desktop screenshot: fixed crop left of the ImGui panel,
         # below the menubar, above the dock
         "sphere_diffuse": (
