@@ -44,6 +44,16 @@ class Routing:
     # axis, and extra |direction| bits inside the octant.
     bin_bits: int = 5
     bin_dir_bits: int = 0
+    # Two-phase treelet traversal (round 3): a TOP packet walk emits
+    # per-lane treelet entries, pairs are sorted by entry and traversed by
+    # treelet-local DEEP packets.  Bounds each deep packet's node union by
+    # ~one subtree; wins grow with wavefront population (sim: 3.1x fewer
+    # packet-visits at 38k rays).  Applies to flattened VMEM-resident
+    # scenes with treelets; other scenes fall back to single-phase.
+    two_phase: bool = False
+    # per-lane entry slots in the top phase (overflowing lanes re-traverse
+    # from the root via an entry-0 pair)
+    top_k: int = 5
 
     @staticmethod
     def from_env() -> "Routing":
@@ -60,6 +70,8 @@ class Routing:
             ),
             bin_bits=int(os.environ.get("RT_BIN_BITS", 5)),
             bin_dir_bits=int(os.environ.get("RT_BIN_DIR_BITS", 0)),
+            two_phase=os.environ.get("RT_TWO_PHASE", "0") != "0",
+            top_k=int(os.environ.get("RT_TOP_K", 5)),
         )
 
     def replace(self, **kw) -> "Routing":

@@ -66,6 +66,15 @@ def _packet_kernel(
 ):
     ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+    # Exactly-zero direction components make 1/d infinite and the slab
+    # arithmetic NaN (0*inf), silently failing every box comparison — the
+    # lane then traverses NOTHING and only hits what packet-mates happen
+    # to visit (composition-dependent!).  A tiny epsilon keeps the slab
+    # math finite with the correct signs (axis-aligned camera rays, e.g.
+    # the exact center column, are common).
+    dx = jnp.where(dx == 0.0, 1e-20, dx)
+    dy = jnp.where(dy == 0.0, 1e-20, dy)
+    dz = jnp.where(dz == 0.0, 1e-20, dz)
     inv_x = 1.0 / dx
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
@@ -290,27 +299,46 @@ def packet_traverse(
 
 def _packet8_kernel(
     nodes_ref,  # (W,128) f32 packed wide nodes (see layout above)
-    meta_ref,  # SMEM (W*12,) i32: per node codes[0:8] + axis[8] + pad
+    meta_ref,  # SMEM (W*12,) i32: codes[0:8] + axis[8] + troot[9] + pad
     tris_ref,  # (L,128) f32 leaf rows, VMEM or HBM
     ox_ref, oy_ref, oz_ref,
     dx_ref, dy_ref, dz_ref,
     tmax_ref,
-    entry_ref,  # (1,1) i32 SMEM: entry code (wide root id, or leaf code)
+    entry_ref,  # (1,1) i32 SMEM entry code; deep mode: flat (G*E,) lists
     dst_ref, prim_ref, u_ref, v_ref, front_ref,
-    *rest,  # [vis_int_ref, vis_leaf_ref when with_visits,] stack_ref, scratch
+    *rest,  # [emit slots + cnt + ovf when top_k,] [vis refs,] stack, scratch
     tris_in_hbm: bool = False,
     nodes_in_hbm: bool = False,
     max_recs: int = 8,
     anyhit: bool = False,
     use_meta: bool = True,
     with_visits: bool = False,
+    top_k: int = 0,
+    deep_e: int = 0,
 ):
+    rest = list(rest)
+    if top_k:
+        # Two-phase TOP mode: children that are treelet roots (meta slot 9)
+        # are not descended; instead each lane records up to ``top_k``
+        # entry codes (its deep-phase work list) + an overflow flag.
+        emit_refs = rest[:top_k]
+        cnt_ref, ovf_ref = rest[top_k], rest[top_k + 1]
+        rest = rest[top_k + 2:]
     if with_visits:
-        vis_int_ref, vis_leaf_ref, stack_ref, *scratch = rest
-    else:
-        stack_ref, *scratch = rest
+        vis_int_ref, vis_leaf_ref = rest[:2]
+        rest = rest[2:]
+    stack_ref, *scratch = rest
     ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+    # Exactly-zero direction components make 1/d infinite and the slab
+    # arithmetic NaN (0*inf), silently failing every box comparison — the
+    # lane then traverses NOTHING and only hits what packet-mates happen
+    # to visit (composition-dependent!).  A tiny epsilon keeps the slab
+    # math finite with the correct signs (axis-aligned camera rays, e.g.
+    # the exact center column, are common).
+    dx = jnp.where(dx == 0.0, 1e-20, dx)
+    dy = jnp.where(dy == 0.0, 1e-20, dy)
+    dz = jnp.where(dz == 0.0, 1e-20, dz)
     inv_x = 1.0 / dx
     inv_y = 1.0 / dy
     inv_z = 1.0 / dz
@@ -325,6 +353,11 @@ def _packet8_kernel(
     u_ref[...] = jnp.zeros_like(u_ref[...])
     v_ref[...] = jnp.zeros_like(v_ref[...])
     front_ref[...] = jnp.zeros_like(front_ref[...])
+    if top_k:
+        for k in range(top_k):
+            emit_refs[k][...] = jnp.full_like(emit_refs[k][...], -1)
+        cnt_ref[...] = jnp.zeros_like(cnt_ref[...])
+        ovf_ref[...] = jnp.zeros_like(ovf_ref[...])
 
     neg_x = jnp.sum(jnp.where(dx < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dx.size)
     neg_y = jnp.sum(jnp.where(dy < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dy.size)
@@ -440,7 +473,26 @@ def _packet8_kernel(
         def node_row(code):
             return nodes_ref[pl.ds(code, 1), :]
 
-    stack_ref[0] = entry_ref[0, 0]
+    if deep_e:
+        # Deep phase: per-packet entry list (sorted unique treelet roots of
+        # this packet's lanes; -1 padding), read from the flat SMEM table
+        # at this packet's program id (SMEM blocks can't be grid-tiled).
+        # Entries are pushed untested — their child tests gate all real
+        # work, and phase-A bests in tmax prune immediately.
+        base = pl.program_id(0) * deep_e
+        sp_init = jnp.int32(0)
+        for e in range(deep_e):
+            val = entry_ref[base + e]
+            ok = val >= 0
+
+            @pl.when(ok)
+            def _(val=val, sp_init=sp_init):
+                stack_ref[sp_init] = val
+
+            sp_init = sp_init + jnp.where(ok, 1, 0)
+    else:
+        stack_ref[0] = entry_ref[0, 0]
+        sp_init = None
 
     def cond(state):
         return state[0] > 0
@@ -463,11 +515,14 @@ def _packet8_kernel(
             # count <= 8192 so fields cannot carry).  (A plain bitwise-or
             # reduce miscompiles in Mosaic: arith.shrsi i1 operand bug.)
             mask = jnp.int32(0)
+            hvecs = []
             for k in range(4):
-                h_a = jnp.where(child_hit(row, 2 * k, best), jnp.int32(1), 0)
-                h_b = jnp.where(
-                    child_hit(row, 2 * k + 1, best), jnp.int32(1 << 15), 0
-                )
+                hv_a = child_hit(row, 2 * k, best)
+                hv_b = child_hit(row, 2 * k + 1, best)
+                if top_k:
+                    hvecs += [hv_a, hv_b]
+                h_a = jnp.where(hv_a, jnp.int32(1), 0)
+                h_b = jnp.where(hv_b, jnp.int32(1 << 15), 0)
                 word = jnp.sum(h_a + h_b)
                 any_a = jnp.where((word & 0x7FFF) > 0, jnp.int32(1), 0)
                 any_b = jnp.where((word >> 15) > 0, jnp.int32(1), 0)
@@ -482,6 +537,36 @@ def _packet8_kernel(
                 # child traversal codes, eagerly extracted (f32-held ints)
                 # — extracting inside the push branch measured ~12% slower
                 codes = [row[0, 8 * c + 6].astype(jnp.int32) for c in range(8)]
+            if top_k:
+                # Treelet-root children are EMITTED per lane, not pushed:
+                # lanes record the child code in their first free slot
+                # (deep-phase work list); slots full -> overflow flag (the
+                # lane re-traverses from the root in the fallback batch).
+                for c in range(8):
+                    flag = meta_ref[jnp.maximum(codes[c], 0) * 12 + 9]
+                    is_emit = (((mask >> c) & 1) == 1) & (flag == 1) & (
+                        codes[c] > 0
+                    )
+
+                    @pl.when(is_emit)
+                    def _(c=c, code_c=codes[c]):
+                        h = hvecs[c]
+                        cnt = cnt_ref[...]
+                        for k in range(top_k):
+                            emit_refs[k][...] = jnp.where(
+                                h & (cnt == k), code_c, emit_refs[k][...]
+                            )
+                        ovf_ref[...] = jnp.where(
+                            h & (cnt >= top_k), 1, ovf_ref[...]
+                        )
+                        cnt_ref[...] = cnt + jnp.where(h, 1, 0)
+
+                    mask = mask & ~(
+                        jnp.where(
+                            (flag == 1) & (codes[c] > 0), jnp.int32(1), 0
+                        )
+                        << c
+                    )
             neg = jnp.where(
                 axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z)
             )
@@ -509,7 +594,12 @@ def _packet8_kernel(
         return (new_sp, ni, nl)
 
     final = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), jnp.int32(0), jnp.int32(0))
+        cond, body,
+        (
+            sp_init if deep_e else jnp.int32(1),
+            jnp.int32(0),
+            jnp.int32(0),
+        ),
     )
     if with_visits:
         vis_int_ref[...] = jnp.full_like(vis_int_ref[...], final[1])
@@ -520,7 +610,7 @@ def _packet8_kernel(
     jax.jit,
     static_argnames=(
         "interpret", "packet_size", "tris_in_hbm", "nodes_in_hbm",
-        "max_recs", "anyhit", "with_visits",
+        "max_recs", "anyhit", "with_visits", "top_k", "deep_e",
     ),
 )
 def packet_traverse_wide(
@@ -537,6 +627,10 @@ def packet_traverse_wide(
     max_recs: int = 8,
     anyhit: bool = False,
     with_visits: bool = False,
+    top_k: int = 0,
+    troot: jnp.ndarray = None,  # (W,) i32 treelet-root flags (top mode)
+    deep_e: int = 0,
+    entries: jnp.ndarray = None,  # (G,E) i32 per-packet entry lists
 ):
     """BVH8 packet traversal; same contract as :func:`packet_traverse`,
     except ``prim`` returns *padded leaf-slot ids* (slot*8 + k) — map them
@@ -554,6 +648,17 @@ def packet_traverse_wide(
     shape of a shadow ray, replacing the reference's full closest-hit NEE
     raycast, raytrace.comp:443).  ``dst`` returns -BIG for occluded lanes;
     ``prim``/``u``/``v``/``front`` are meaningless.
+
+    Two-phase treelet modes (round 3):
+
+    * ``top_k>0`` + ``troot``: TOP phase — treelet-root children are not
+      descended; each lane emits up to ``top_k`` entry codes.  Returns
+      ``(..., slots (N,top_k) i32 with -1 padding, overflow (N,) i32)``
+      appended to the base tuple.  Requires the SMEM meta mirror (node
+      table small enough), enforced by assertion.
+    * ``deep_e>0`` + ``entries``: DEEP phase — packet ``g`` starts its walk
+      from the (<=deep_e, -1-padded) entry list ``entries[g]`` instead of
+      the root.
     """
     p_size = packet_size or PACKET
     sub = 8 * (p_size // 1024)
@@ -578,10 +683,17 @@ def packet_traverse_wide(
     # vector-extract path.
     n_wide = nodes.shape[0]
     use_meta = n_wide * 12 * 4 <= 600_000
+    assert not (top_k and not use_meta), "top mode needs the SMEM meta"
     if use_meta:
         codes_f = nodes[:, 6:70:8]  # (W,8) f32-held ints (NaN on empties)
+        tr_col = (
+            troot.astype(nodes.dtype)[:, None]
+            if top_k
+            else jnp.zeros((n_wide, 1), nodes.dtype)
+        )
         meta2 = jnp.concatenate(
-            [codes_f, nodes[:, 7:8], jnp.zeros((n_wide, 3), nodes.dtype)],
+            [codes_f, nodes[:, 7:8], tr_col,
+             jnp.zeros((n_wide, 2), nodes.dtype)],
             axis=1,
         )
         meta = jnp.nan_to_num(meta2, nan=0.0).astype(jnp.int32).reshape(-1)
@@ -599,6 +711,10 @@ def packet_traverse_wide(
         jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
     ]
+    if top_k:
+        out_shape += [
+            jax.ShapeDtypeStruct((g * sub, _LANE), jnp.int32)
+        ] * (top_k + 2)  # slots + cnt + ovf
     if with_visits:
         out_shape += [
             jax.ShapeDtypeStruct((g * sub, _LANE), jnp.int32),
@@ -612,6 +728,8 @@ def packet_traverse_wide(
         anyhit=anyhit,
         use_meta=use_meta,
         with_visits=with_visits,
+        top_k=top_k,
+        deep_e=deep_e,
     )
     scratch = [pltpu.SMEM((STACK_DEPTH * 8,), jnp.int32)]
     rows_per_slot = 2 if max_recs > 8 else 1
@@ -631,6 +749,18 @@ def packet_traverse_wide(
         ]
     else:
         node_spec = full(nodes)
+    if deep_e:
+        assert entries is not None and entries.shape == (g, deep_e), (
+            entries.shape, g, deep_e
+        )
+        entry_arr = entries.astype(jnp.int32).reshape(-1)
+        entry_spec = pl.BlockSpec(
+            entry_arr.shape, lambda i: (0,), memory_space=pltpu.SMEM
+        )
+    else:
+        entry_spec = pl.BlockSpec(
+            (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+        )
     outs = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -641,7 +771,7 @@ def packet_traverse_wide(
             row_spec, row_spec, row_spec,
             row_spec, row_spec, row_spec,
             row_spec,
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            entry_spec,
         ],
         out_specs=[row_spec] * len(out_shape),
         out_shape=out_shape,
@@ -658,7 +788,15 @@ def packet_traverse_wide(
         flat(v),
         flat(front) > 0.5,
     )
+    k = 5
+    if top_k:
+        slots = jnp.stack(
+            [flat(outs[k + j]) for j in range(top_k)], axis=1
+        )
+        ovf = flat(outs[k + top_k + 1])
+        result = result + (slots, ovf)
+        k += top_k + 2
     if with_visits:
         per_packet = lambda x: x.reshape(g, -1)[:, 0]
-        return result + (per_packet(outs[5]), per_packet(outs[6]))
+        return result + (per_packet(outs[k]), per_packet(outs[k + 1]))
     return result

@@ -133,6 +133,165 @@ def prim_space(scene: CompiledScene, routing: Routing = None) -> str:
     return "tri"
 
 
+def _two_phase_wide(
+    scene: CompiledScene,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    tmax0: jnp.ndarray,
+    routing: Routing,
+    interp: bool,
+    anyhit: bool = False,
+):
+    """Two-phase treelet packet traversal (round 3).
+
+    Phase A walks only the TOP of the wide tree (treelet-root children are
+    emitted as per-lane entries, up to ``routing.top_k``; overflow lanes
+    fall back to a root-entry pair).  (ray, entry) pairs are sorted by
+    entry and RUN-PADDED to 128-multiples, so every deep packet contains
+    at most ``packet/128`` distinct entries — the per-packet entry lists
+    are then just the first element of each 128-block, and no pair can be
+    silently dropped.  Phase B walks each pair from its entry with the
+    phase-A best as the initial bound; results fold back with a (K+1)-way
+    argmin per ray (pure reshape/argmin — no scatters race).
+
+    Why: a deep packet's node union is bounded by the subtrees its ~16
+    entries head, instead of the whole-tree union of a root walk — the
+    quantity that dominates incoherent-bounce traversal (BENCH_NOTES r3
+    sim: 3.1x fewer packet-visits at 38k-ray populations, improving with
+    population size).
+    """
+    from ..kernels import packet
+
+    n = origin.shape[0]
+    K = routing.top_k
+    psize = routing.packet_size or packet.PACKET
+    R = 128  # run-padding quantum; E = psize // R entries per deep packet
+    E = psize // R
+
+    out = packet.packet_traverse_wide(
+        scene.wide_packed, scene.leaf_rows, origin, direction, tmax0,
+        0, interpret=interp, packet_size=psize,
+        max_recs=scene.meta.get("wide_leaf_recs", 8),
+        anyhit=anyhit, top_k=K, troot=scene.wide_troot,
+    )
+    dstA, primA, uA, vA, frontA, slots, ovf = out
+
+    # Overflow lanes re-traverse from the root: pair 0 becomes the root
+    # entry (wide id 0), the rest are dropped.
+    ovf_b = ovf > 0
+    slots = jnp.where(
+        ovf_b[:, None],
+        jnp.concatenate(
+            [jnp.zeros((n, 1), jnp.int32),
+             jnp.full((n, K - 1), -1, jnp.int32)], axis=1,
+        ),
+        slots,
+    )
+
+    # ---- pairs (k-major: pair index p = k*n + ray)
+    pair_entry = slots.T.reshape(K * n)
+    pair_ray = jnp.tile(jnp.arange(n, dtype=jnp.int32), (K,))
+    lane_active = tmax0 > -1.0
+    valid = (pair_entry >= 0) & lane_active[pair_ray]
+    if anyhit:
+        valid = valid & ~(dstA[pair_ray] < -1.0)  # already occluded
+    SENT = jnp.int32(2**30)
+    key = jnp.where(valid, pair_entry, SENT)
+    order = jnp.argsort(key)
+    pe = key[order]
+
+    # ---- run-pad to R-multiples
+    m = K * n
+    prev = jnp.concatenate([jnp.full((1,), -9, jnp.int32), pe[:-1]])
+    newrun = pe != prev
+    run_id = jnp.cumsum(newrun.astype(jnp.int32)) - 1  # 0-based
+    # position within run
+    run_start = jnp.where(newrun, jnp.arange(m, dtype=jnp.int32), 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
+    pos_in_run = jnp.arange(m, dtype=jnp.int32) - run_start
+    # run lengths -> padded offsets.  Static bound on run count: every
+    # real run heads a distinct entry (<= n_treelets + 2 for the root and
+    # sentinel runs).
+    max_runs = int(scene.meta.get("n_treelets", 0)) + 2
+    lens = jnp.zeros((max_runs,), jnp.int32).at[
+        jnp.minimum(run_id, max_runs - 1)
+    ].add(1)
+    padded = -(-lens // R) * R
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]]
+    )
+    dest = offs[jnp.minimum(run_id, max_runs - 1)] + pos_in_run
+    m2 = m + max_runs * R  # static padded capacity
+    g2 = -(-m2 // psize)
+    m2 = g2 * psize
+
+    def scat(x, init):
+        return jnp.full((m2,), init, x.dtype).at[dest].set(x)
+
+    pe_p = scat(pe, SENT)
+    ray_p = scat(pair_ray[order], 0)
+    live_p = scat(valid[order].astype(jnp.int32), 0) > 0
+
+    entries = pe_p.reshape(g2, E, R)[:, :, 0]
+    entries = jnp.where(entries >= SENT, -1, entries)
+
+    o_p = origin[ray_p]
+    d_p = direction[ray_p]
+    if anyhit:
+        tm_p = jnp.where(live_p, tmax0[ray_p], -packet.BIG)
+    else:
+        # phase-A best bounds the deep walk (prunes instantly when the
+        # top already found the closest hit)
+        tm_p = jnp.where(live_p, dstA[ray_p], -packet.BIG)
+    dstD, primD, uD, vD, frontD = packet.packet_traverse_wide(
+        scene.wide_packed, scene.leaf_rows, o_p, d_p, tm_p,
+        0, interpret=interp, packet_size=psize,
+        max_recs=scene.meta.get("wide_leaf_recs", 8),
+        anyhit=anyhit, deep_e=E, entries=entries,
+    )
+
+    # ---- fold pair results back per ray
+    dest_by_pair = jnp.zeros((m,), jnp.int32).at[order].set(dest)
+    take = lambda x: x[dest_by_pair].reshape(K, n)
+    live_by = take(live_p.astype(jnp.int32)) > 0
+    if anyhit:
+        # dead deep lanes carry dst = -BIG too — only live pairs count
+        occ_pairs = jnp.any((take(dstD) < -1.0) & live_by, axis=0)
+        occ = (dstA < -1.0) | occ_pairs
+        marker = jnp.where(occ, -packet.BIG, dstA)
+        return marker, primA, uA, vA, frontA
+    # deep found something iff prim >= 0 (dst improved below its bound)
+    dstD_by = take(dstD)
+    primD_by = take(primD)
+    dstD_by = jnp.where(primD_by >= 0, dstD_by, packet.BIG)
+    dst_all = jnp.concatenate([dstA[None], dstD_by], axis=0)  # (K+1, n)
+    win = jnp.argmin(dst_all, axis=0)  # phase A wins ties
+    pick = lambda a_, d_: jnp.where(
+        win == 0, a_, jnp.take_along_axis(
+            d_, jnp.maximum(win - 1, 0)[None], axis=0
+        )[0]
+    )
+    dst = jnp.take_along_axis(dst_all, win[None], axis=0)[0]
+    prim = pick(primA, primD_by)
+    u = pick(uA, take(uD))
+    v = pick(vA, take(vD))
+    front = pick(frontA.astype(jnp.int32), take(frontD.astype(jnp.int32)))
+    return dst, prim, u, v, front > 0
+
+
+def _two_phase_ok(scene: CompiledScene, mode: str, routing: Routing) -> bool:
+    """Two-phase applies: flattened + fully VMEM-resident + SMEM meta fits
+    + the tree actually has treelets + wide kernel."""
+    return (
+        routing.two_phase
+        and mode in ("vmem", "interpret:vmem")
+        and routing.wide
+        and scene.meta.get("n_treelets", 0) > 0
+        and scene.wide_packed.shape[0] * 12 * 4 <= 600_000
+        and (routing.packet_size or 2048) % 128 == 0
+    )
+
+
 def traverse(
     scene: CompiledScene,
     origin: jnp.ndarray,
@@ -216,7 +375,17 @@ def traverse(
         placement = mode.split(":")[1] if interp else mode
         tmax0 = jnp.where(active, best.dst, -BIG)
         psize = routing.packet_size or None
-        if _use_wide(scene, mode, routing):
+        if _use_wide(scene, mode, routing) and _two_phase_ok(
+            scene, mode, routing
+        ):
+            dst, prim, u, v, front = _two_phase_wide(
+                scene, origin, direction, tmax0, routing, interp
+            )
+            if not raw:
+                prim = jnp.where(
+                    prim >= 0, scene.leaf_map[jnp.maximum(prim, 0)], prim
+                )
+        elif _use_wide(scene, mode, routing):
             dst, prim, u, v, front = packet.packet_traverse_wide(
                 scene.wide_packed,
                 scene.leaf_rows,
@@ -342,22 +511,28 @@ def traverse_anyhit(
         interp = mode.startswith("interpret")
         placement = mode.split(":")[1] if interp else mode
         tmax0 = jnp.where(active, tmax, -BIG)
-        dst, _, _, _, _ = packet.packet_traverse_wide(
-            scene.wide_packed,
-            scene.leaf_rows,
-            origin,
-            direction,
-            tmax0,
-            0,
-            interpret=interp,
-            packet_size=routing.packet_size or None,
-            tris_in_hbm=placement in ("hbm", "hbm2"),
-            nodes_in_hbm=placement == "hbm2",
-            max_recs=scene.meta.get(
-                    "wide_leaf_recs", 4 if scene.max_leaf_tris <= 4 else 8
-                ),
-            anyhit=True,
-        )
+        if _two_phase_ok(scene, mode, routing):
+            dst, _, _, _, _ = _two_phase_wide(
+                scene, origin, direction, tmax0, routing, interp,
+                anyhit=True,
+            )
+        else:
+            dst, _, _, _, _ = packet.packet_traverse_wide(
+                scene.wide_packed,
+                scene.leaf_rows,
+                origin,
+                direction,
+                tmax0,
+                0,
+                interpret=interp,
+                packet_size=routing.packet_size or None,
+                tris_in_hbm=placement in ("hbm", "hbm2"),
+                nodes_in_hbm=placement == "hbm2",
+                max_recs=scene.meta.get(
+                        "wide_leaf_recs", 4 if scene.max_leaf_tris <= 4 else 8
+                    ),
+                anyhit=True,
+            )
         return (occ | (dst < -1.0)) & active
 
     hit = traverse(scene, origin, direction, active, tmax=tmax, routing=routing)

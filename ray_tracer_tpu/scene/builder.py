@@ -565,6 +565,32 @@ class SceneBuilder:
                 if leaf_map_list
                 else np.zeros(8, i32)
             )
+            # ---- treelet roots (two-phase packet traversal): deepest
+            # wide nodes whose subtree has <= TREELET_S wide nodes.  BFS
+            # discovery order guarantees children carry higher ids than
+            # their parent, so sizes accumulate in one reverse sweep.
+            TREELET_S = 64
+            codes_f = wide_packed[:, 6:64:8]
+            empty = ~np.isfinite(wide_packed[:, 0:64:8])
+            child_codes = np.where(
+                empty | (codes_f < 0) | ~np.isfinite(codes_f),
+                -1,
+                np.nan_to_num(codes_f, nan=-1.0),
+            ).astype(np.int64)
+            sizes = np.ones(n_wide, np.int64)
+            for w in range(n_wide - 1, -1, -1):
+                for c in child_codes[w]:
+                    if c >= 0:
+                        sizes[w] += sizes[c]
+            wide_troot = np.zeros(n_wide, i32)
+            small = sizes <= TREELET_S
+            # root of a treelet: small, and either the tree root with a
+            # big parent... parent sizes: mark children of non-small nodes
+            for w in range(n_wide):
+                if not small[w]:
+                    for c in child_codes[w]:
+                        if c >= 0 and small[c]:
+                            wide_troot[c] = 1
         else:
             wide_packed = np.full((1, 128), np.nan, f32)
             wide_packed[:, 6:64:8] = 0.0
@@ -572,6 +598,7 @@ class SceneBuilder:
             leaf_rows = np.full((1, 128), np.nan, f32)
             leaf_map = np.zeros(8, i32)
             wide_leaf_recs = 4 if max_leaf_tris <= 4 else 8
+            wide_troot = np.zeros(1, i32)
 
         # Slot-space mirror of the fat shading rows: indexed directly by the
         # wide packet kernel's padded leaf-slot ids (slot*8 + k), removing
@@ -621,6 +648,7 @@ class SceneBuilder:
             wide_packed=wide_packed,
             leaf_rows=leaf_rows,
             leaf_map=leaf_map,
+            wide_troot=wide_troot,
             light_corner=li_corner,
             light_edge_u=li_u,
             light_edge_v=li_v,
@@ -645,6 +673,10 @@ class SceneBuilder:
                 "max_leaf_tris": forest.max_leaf_tris,
                 "wide_leaf_recs": wide_leaf_recs,
                 "flattened": flattened,
+                "treelet_size": 64,
+                "n_treelets": (
+                    int(wide_troot.sum()) if flattened else 0
+                ),
                 "bvh_max_depth": forest.max_depth_seen,
                 "camera": (
                     tuple(self.camera.position),

@@ -199,6 +199,10 @@ class CompiledScene:
     # 128-float row (8 padded tri records); NaN v0 marks padding.
     leaf_rows: Any  # (L,128) f32
     leaf_map: Any  # (L*8,) i32: padded slot -> global triangle id
+    # Treelet roots for two-phase packet traversal: 1 where the wide node
+    # heads a subtree of <= meta['treelet_size'] wide nodes whose parent's
+    # subtree is larger (0 on top-region nodes).
+    wide_troot: Any  # (W,) i32
 
     # NEE lights.
     light_corner: Any  # (L,3) f32

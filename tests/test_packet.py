@@ -312,3 +312,64 @@ def test_merged_leaf_slots_match(rand):
         if not (abs(t1 - t2) < 1e-5 and (i1 == i2 or abs(t1 - t2) == 0.0)):
             mism += 1
     assert mism == 0
+
+
+def test_two_phase_matches_single_phase(rand, assets_dir):
+    """Two-phase treelet traversal == single-phase kernel == gather walk.
+
+    prim ids may differ between duplicated SBVH references of the same
+    triangle (identical geometry + shading rows), so geometry is compared,
+    not raw ids."""
+    import os
+
+    from ray_tracer_tpu.scene import presets
+
+    scene = presets.mesh_scene(
+        "klein_bottle.obj", material=presets.WHITE, scale=0.15,
+        position=(0.0, 0.5, 0.0), assets=assets_dir,
+    ).compile().device_put()
+    assert scene.meta["n_treelets"] > 0
+    n = 2000
+    o = jnp.asarray(rand.uniform(-1, 1, (n, 3)).astype(np.float32))
+    d = rand.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    act = jnp.asarray(rand.uniform(size=n) < 0.9)
+    TP = INTERP.replace(two_phase=True)
+    ref = traverse.traverse(scene, o, d, act, routing=OFF)
+    got = traverse.traverse(scene, o, d, act, routing=TP)
+    m = np.asarray(ref.did_hit)
+    np.testing.assert_array_equal(np.asarray(got.did_hit), m)
+    np.testing.assert_allclose(
+        np.asarray(got.dst)[m], np.asarray(ref.dst)[m], rtol=1e-5, atol=1e-6
+    )
+    tv = np.asarray(scene.tri_v0)
+    same = (
+        tv[np.asarray(got.prim)[m]] == tv[np.asarray(ref.prim)[m]]
+    ).all(axis=1)
+    assert same.all()
+    # anyhit
+    tmax = jnp.asarray(rand.uniform(0.2, 3.0, n).astype(np.float32))
+    occ = np.asarray(
+        traverse.traverse_anyhit(scene, o, d, act, tmax, routing=TP)
+    )
+    ref2 = traverse.traverse(scene, o, d, act, tmax=tmax, routing=OFF)
+    np.testing.assert_array_equal(occ, np.asarray(ref2.did_hit & act))
+
+
+def test_two_phase_render_bit_identical(assets_dir):
+    """Full integrator output is bit-identical with two-phase on/off."""
+    from ray_tracer_tpu import RenderConfig, render
+    from ray_tracer_tpu.scene import presets
+
+    scene = presets.mesh_scene(
+        "klein_bottle.obj", material=presets.WHITE, scale=0.15,
+        position=(0.0, 0.5, 0.0), assets=assets_dir,
+    ).compile().device_put()
+    cfg = RenderConfig(width=16, height=16, samples_per_pixel=2,
+                       bounce_limit=3)
+    a = np.asarray(render(scene, cfg.replace(routing=INTERP)))
+    b = np.asarray(
+        render(scene, cfg.replace(routing=INTERP.replace(two_phase=True)))
+    )
+    np.testing.assert_allclose(a, b, atol=1e-6)
