@@ -197,6 +197,10 @@ class SceneBuilder:
         traversal time) when instancing-heavy scenes make duplication too
         costly.
         """
+        from . import validate as _validate
+
+        _validate.validate(self)  # loud, actionable errors (VK_CHECK-style)
+
         f32 = np.float32
         i32 = np.int32
         if max_leaf_tris is None:
