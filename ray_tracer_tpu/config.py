@@ -46,10 +46,13 @@ class Routing:
     bin_dir_bits: int = 0
     # Two-phase treelet traversal (round 3): a TOP packet walk emits
     # per-lane treelet entries, pairs are sorted by entry and traversed by
-    # treelet-local DEEP packets.  Bounds each deep packet's node union by
-    # ~one subtree; wins grow with wavefront population (sim: 3.1x fewer
-    # packet-visits at 38k rays).  Applies to flattened VMEM-resident
-    # scenes with treelets; other scenes fall back to single-phase.
+    # treelet-local DEEP packets (nearest entry first, remaining entries
+    # bounded by its best).  MEASURED NEGATIVE on the v5e (BENCH_NOTES r3:
+    # 0.33 vs 1.52 Mrays/s on binned bounce rays): a deep packet descends
+    # every node ANY lane wants, so its union approaches the whole
+    # treelet, and the 2.5x pair-lane volume + sort glue swamp the
+    # smaller per-packet footprint.  Kept as a tested escape hatch /
+    # measurement harness; default stays single-phase.
     two_phase: bool = False
     # per-lane entry slots in the top phase (overflowing lanes re-traverse
     # from the root via an entry-0 pair)

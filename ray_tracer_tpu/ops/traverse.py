@@ -188,81 +188,102 @@ def _two_phase_wide(
         slots,
     )
 
-    # ---- pairs (k-major: pair index p = k*n + ray)
-    pair_entry = slots.T.reshape(K * n)
-    pair_ray = jnp.tile(jnp.arange(n, dtype=jnp.int32), (K,))
     lane_active = tmax0 > -1.0
+    SENT = jnp.int32(2**30)
+    max_runs = int(scene.meta.get("n_treelets", 0)) + 2
+
+    def deep_round(pair_entry, pair_ray, valid, tmax_ray, nk):
+        """Sort (ray, entry) pairs by entry, run-pad to R-multiples, walk
+        each pair from its entry bounded by the ray's current best, and
+        return per-pair (dst, prim, u, v, front, live) in (nk, n) layout.
+        """
+        m = nk * n
+        key = jnp.where(valid, pair_entry, SENT)
+        order = jnp.argsort(key)
+        pe = key[order]
+        prev = jnp.concatenate([jnp.full((1,), -9, jnp.int32), pe[:-1]])
+        newrun = pe != prev
+        run_id = jnp.cumsum(newrun.astype(jnp.int32)) - 1  # 0-based
+        run_start = jnp.where(newrun, jnp.arange(m, dtype=jnp.int32), 0)
+        run_start = jax.lax.associative_scan(jnp.maximum, run_start)
+        pos_in_run = jnp.arange(m, dtype=jnp.int32) - run_start
+        rid = jnp.minimum(run_id, max_runs - 1)
+        lens = jnp.zeros((max_runs,), jnp.int32).at[rid].add(1)
+        padded = -(-lens // R) * R
+        offs = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]]
+        )
+        dest = offs[rid] + pos_in_run
+        m2 = m + max_runs * R  # static padded capacity
+        g2 = -(-m2 // psize)
+        m2 = g2 * psize
+
+        def scat(x, init):
+            return jnp.full((m2,), init, x.dtype).at[dest].set(x)
+
+        pe_p = scat(pe, SENT)
+        ray_p = scat(pair_ray[order], 0)
+        live_p = scat(valid[order].astype(jnp.int32), 0) > 0
+        entries = pe_p.reshape(g2, E, R)[:, :, 0]
+        entries = jnp.where(entries >= SENT, -1, entries)
+
+        tm_p = jnp.where(live_p, tmax_ray[ray_p], -packet.BIG)
+        dstD, primD, uD, vD, frontD = packet.packet_traverse_wide(
+            scene.wide_packed, scene.leaf_rows,
+            origin[ray_p], direction[ray_p], tm_p,
+            0, interpret=interp, packet_size=psize,
+            max_recs=scene.meta.get("wide_leaf_recs", 8),
+            anyhit=anyhit, deep_e=E, entries=entries,
+        )
+        dest_by_pair = jnp.zeros((m,), jnp.int32).at[order].set(dest)
+        take = lambda x: x[dest_by_pair].reshape(nk, n)
+        return (take(dstD), take(primD), take(uD), take(vD),
+                take(frontD.astype(jnp.int32)),
+                take(live_p.astype(jnp.int32)) > 0)
+
+    arange_n = jnp.arange(n, dtype=jnp.int32)
+
+    # ---- deep round 1: each ray's FIRST entry only (the top phase emits
+    # in near-first traversal order, so slot 0 is the likeliest subtree to
+    # hold the closest hit).  Finding it first lets round 2's pairs prune
+    # at their entry instead of walking whole subtrees — the sequential
+    # inter-subtree pruning a per-ray walk gets for free (without this,
+    # unordered pairs measured 4.4x SLOWER than single-phase).
+    e0 = slots[:, 0]
+    v0 = (e0 >= 0) & lane_active
+    if anyhit:
+        v0 = v0 & ~(dstA < -1.0)
+    d1, p1, u1, vv1, f1, l1 = deep_round(e0, arange_n, v0, dstA, 1)
+
+    if anyhit:
+        occ1 = (dstA < -1.0) | ((d1[0] < -1.0) & l1[0])
+        best1 = jnp.where(occ1, -packet.BIG, tmax0)
+    else:
+        hit1 = (p1[0] >= 0) & l1[0]
+        best1 = jnp.where(hit1 & (d1[0] < dstA), d1[0], dstA)
+
+    # ---- deep round 2: remaining entries, bounded by the round-1 best
+    K2 = K - 1
+    pair_entry = slots[:, 1:].T.reshape(K2 * n)
+    pair_ray = jnp.tile(arange_n, (K2,))
     valid = (pair_entry >= 0) & lane_active[pair_ray]
     if anyhit:
-        valid = valid & ~(dstA[pair_ray] < -1.0)  # already occluded
-    SENT = jnp.int32(2**30)
-    key = jnp.where(valid, pair_entry, SENT)
-    order = jnp.argsort(key)
-    pe = key[order]
-
-    # ---- run-pad to R-multiples
-    m = K * n
-    prev = jnp.concatenate([jnp.full((1,), -9, jnp.int32), pe[:-1]])
-    newrun = pe != prev
-    run_id = jnp.cumsum(newrun.astype(jnp.int32)) - 1  # 0-based
-    # position within run
-    run_start = jnp.where(newrun, jnp.arange(m, dtype=jnp.int32), 0)
-    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
-    pos_in_run = jnp.arange(m, dtype=jnp.int32) - run_start
-    # run lengths -> padded offsets.  Static bound on run count: every
-    # real run heads a distinct entry (<= n_treelets + 2 for the root and
-    # sentinel runs).
-    max_runs = int(scene.meta.get("n_treelets", 0)) + 2
-    lens = jnp.zeros((max_runs,), jnp.int32).at[
-        jnp.minimum(run_id, max_runs - 1)
-    ].add(1)
-    padded = -(-lens // R) * R
-    offs = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]]
-    )
-    dest = offs[jnp.minimum(run_id, max_runs - 1)] + pos_in_run
-    m2 = m + max_runs * R  # static padded capacity
-    g2 = -(-m2 // psize)
-    m2 = g2 * psize
-
-    def scat(x, init):
-        return jnp.full((m2,), init, x.dtype).at[dest].set(x)
-
-    pe_p = scat(pe, SENT)
-    ray_p = scat(pair_ray[order], 0)
-    live_p = scat(valid[order].astype(jnp.int32), 0) > 0
-
-    entries = pe_p.reshape(g2, E, R)[:, :, 0]
-    entries = jnp.where(entries >= SENT, -1, entries)
-
-    o_p = origin[ray_p]
-    d_p = direction[ray_p]
-    if anyhit:
-        tm_p = jnp.where(live_p, tmax0[ray_p], -packet.BIG)
-    else:
-        # phase-A best bounds the deep walk (prunes instantly when the
-        # top already found the closest hit)
-        tm_p = jnp.where(live_p, dstA[ray_p], -packet.BIG)
-    dstD, primD, uD, vD, frontD = packet.packet_traverse_wide(
-        scene.wide_packed, scene.leaf_rows, o_p, d_p, tm_p,
-        0, interpret=interp, packet_size=psize,
-        max_recs=scene.meta.get("wide_leaf_recs", 8),
-        anyhit=anyhit, deep_e=E, entries=entries,
+        valid = valid & ~(best1[pair_ray] < -1.0)
+    d2, p2, u2, v2, f2, l2 = deep_round(
+        pair_entry, pair_ray, valid, best1, K2
     )
 
-    # ---- fold pair results back per ray
-    dest_by_pair = jnp.zeros((m,), jnp.int32).at[order].set(dest)
-    take = lambda x: x[dest_by_pair].reshape(K, n)
-    live_by = take(live_p.astype(jnp.int32)) > 0
     if anyhit:
-        # dead deep lanes carry dst = -BIG too — only live pairs count
-        occ_pairs = jnp.any((take(dstD) < -1.0) & live_by, axis=0)
-        occ = (dstA < -1.0) | occ_pairs
+        occ = (best1 < -1.0) | jnp.any((d2 < -1.0) & l2, axis=0)
         marker = jnp.where(occ, -packet.BIG, dstA)
         return marker, primA, uA, vA, frontA
-    # deep found something iff prim >= 0 (dst improved below its bound)
-    dstD_by = take(dstD)
-    primD_by = take(primD)
+
+    # ---- fold: phase A + round 1 + round 2 pairs, per-ray argmin
+    dstD_by = jnp.concatenate([d1, d2], axis=0)
+    primD_by = jnp.concatenate([p1, p2], axis=0)
+    uD_by = jnp.concatenate([u1, u2], axis=0)
+    vD_by = jnp.concatenate([vv1, v2], axis=0)
+    fD_by = jnp.concatenate([f1, f2], axis=0)
     dstD_by = jnp.where(primD_by >= 0, dstD_by, packet.BIG)
     dst_all = jnp.concatenate([dstA[None], dstD_by], axis=0)  # (K+1, n)
     win = jnp.argmin(dst_all, axis=0)  # phase A wins ties
@@ -273,9 +294,9 @@ def _two_phase_wide(
     )
     dst = jnp.take_along_axis(dst_all, win[None], axis=0)[0]
     prim = pick(primA, primD_by)
-    u = pick(uA, take(uD))
-    v = pick(vA, take(vD))
-    front = pick(frontA.astype(jnp.int32), take(frontD.astype(jnp.int32)))
+    u = pick(uA, uD_by)
+    v = pick(vA, vD_by)
+    front = pick(frontA.astype(jnp.int32), fD_by)
     return dst, prim, u, v, front > 0
 
 
