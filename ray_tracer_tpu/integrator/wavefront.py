@@ -719,8 +719,11 @@ def trace_wave(
 
     do_bin = cfg.bin_rays
     if do_bin is None:
-        # auto: bin when the packet kernel runs (its node-union cost is
-        # what binning shrinks); the CPU gather walk gains nothing.
+        # auto: bin when the packet kernel runs.  Binning pays even on
+        # tiny scenes where the node-union argument is moot: the sort
+        # clusters DEAD lanes into whole packets and enables the
+        # multi-phase drain — measured 5x on cornell 512^2@1024spp
+        # (137 s binned vs 705 s unbinned, round 3).
         do_bin = traverse._packet_mode(scene, rt) != "off"
 
     def primary_rays(pix, s):
