@@ -124,6 +124,14 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     mrays = total_rays / dt / 1e6
+    # diagnostics (stderr; the driver parses only the stdout JSON line):
+    # wall seconds for the measured frame and the traversal count, so
+    # ray-count-changing optimizations can be A/B'd on frame time.
+    print(
+        json.dumps({"frame_s": round(dt, 3), "rays": total_rays,
+                    "checksum": checksum}),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {

