@@ -57,6 +57,12 @@ class Routing:
     # per-lane entry slots in the top phase (overflowing lanes re-traverse
     # from the root via an entry-0 pair)
     top_k: int = 5
+    # Stack entries popped (and visited back-to-back) per wide-kernel loop
+    # iteration.  The visit loop is latency-bound (cross-lane any-hit
+    # reductions + the scalar pop/push chain), so >1 lets independent
+    # visits' vector work overlap; traversal order changes slightly
+    # (pruning efficiency only, never correctness).  1 = the classic walk.
+    multi_pop: int = 1
 
     @staticmethod
     def from_env() -> "Routing":
@@ -75,6 +81,7 @@ class Routing:
             bin_dir_bits=int(os.environ.get("RT_BIN_DIR_BITS", 0)),
             two_phase=os.environ.get("RT_TWO_PHASE", "0") != "0",
             top_k=int(os.environ.get("RT_TOP_K", 5)),
+            multi_pop=int(os.environ.get("RT_MULTI_POP", 1)),
         )
 
     def replace(self, **kw) -> "Routing":

@@ -315,6 +315,7 @@ def _packet8_kernel(
     with_visits: bool = False,
     top_k: int = 0,
     deep_e: int = 0,
+    multi_pop: int = 1,
 ):
     rest = list(rest)
     if top_k:
@@ -499,16 +500,32 @@ def _packet8_kernel(
 
     def body(state):
         sp, ni, nl = state
-        sp = sp - 1
-        code = stack_ref[sp]
+        # Pop up to ``multi_pop`` stack entries per iteration and visit
+        # them back-to-back.  The loop is latency-bound per visit (the
+        # cross-lane any-hit reductions + the scalar pop/push chain), so
+        # issuing several independent visits per iteration lets their
+        # long-latency vector work overlap.  Traversal ORDER changes
+        # (visit j+1 is the pre-popped sibling, not visit j's near
+        # child), which only affects pruning efficiency, never
+        # correctness; ``best`` is snapshotted once per iteration, which
+        # is conservative pruning for the later visits.
+        n_pop = (
+            jnp.minimum(sp, jnp.int32(multi_pop))
+            if multi_pop > 1
+            else jnp.int32(1)
+        )
+        codes = [
+            stack_ref[jnp.maximum(sp - 1 - j, 0)] for j in range(multi_pop)
+        ]
+        s = sp - n_pop
+        best = dst_ref[...]
 
-        def visit_leaf():
+        def visit_leaf(code, s):
             # leaf code payload: -(slot*16 + cnt) - 1
             leaf_tris((-code - 1) // 16)
-            return sp
+            return s
 
-        def visit_interior():
-            best = dst_ref[...]
+        def visit_interior(code, sp, best):
             row = node_row(code)  # (1,128): whole wide node
             # Per-child any-hit -> scalar bitmask with 4 reductions: two
             # children share one i32 sum, counts packed 15 bits apart (lane
@@ -586,12 +603,30 @@ def _packet8_kernel(
                 s = s + bit
             return s
 
-        new_sp = jax.lax.cond(code < 0, visit_leaf, visit_interior)
-        if with_visits:
-            is_leaf = jnp.where(code < 0, jnp.int32(1), jnp.int32(0))
-            ni = ni + 1 - is_leaf
-            nl = nl + is_leaf
-        return (new_sp, ni, nl)
+        for j in range(multi_pop):
+            code = codes[j]
+
+            def do_visit(sv, code=code):
+                return jax.lax.cond(
+                    code < 0,
+                    lambda: visit_leaf(code, sv),
+                    lambda: visit_interior(code, sv, best),
+                )
+
+            if j == 0:
+                s = do_visit(s)  # while cond guarantees sp > 0
+                valid = jnp.int32(1)
+            else:
+                taken = j < n_pop
+                s = jax.lax.cond(
+                    taken, lambda s=s, code=code: do_visit(s), lambda s=s: s
+                )
+                valid = jnp.where(taken, jnp.int32(1), jnp.int32(0))
+            if with_visits:
+                is_leaf = jnp.where(code < 0, valid, jnp.int32(0))
+                ni = ni + valid - is_leaf
+                nl = nl + is_leaf
+        return (s, ni, nl)
 
     final = jax.lax.while_loop(
         cond, body,
@@ -611,6 +646,7 @@ def _packet8_kernel(
     static_argnames=(
         "interpret", "packet_size", "tris_in_hbm", "nodes_in_hbm",
         "max_recs", "anyhit", "with_visits", "top_k", "deep_e",
+        "multi_pop",
     ),
 )
 def packet_traverse_wide(
@@ -631,6 +667,7 @@ def packet_traverse_wide(
     troot: jnp.ndarray = None,  # (W,) i32 treelet-root flags (top mode)
     deep_e: int = 0,
     entries: jnp.ndarray = None,  # (G,E) i32 per-packet entry lists
+    multi_pop: int = 1,
 ):
     """BVH8 packet traversal; same contract as :func:`packet_traverse`,
     except ``prim`` returns *padded leaf-slot ids* (slot*8 + k) — map them
@@ -660,6 +697,9 @@ def packet_traverse_wide(
       from the (<=deep_e, -1-padded) entry list ``entries[g]`` instead of
       the root.
     """
+    assert multi_pop == 1 or (top_k == 0 and deep_e == 0), (
+        "multi_pop composes with the single-phase walk only"
+    )
     p_size = packet_size or PACKET
     sub = 8 * (p_size // 1024)
     n = origin.shape[0]
@@ -730,8 +770,13 @@ def packet_traverse_wide(
         with_visits=with_visits,
         top_k=top_k,
         deep_e=deep_e,
+        multi_pop=multi_pop,
     )
-    scratch = [pltpu.SMEM((STACK_DEPTH * 8,), jnp.int32)]
+    # multi_pop visits push up to 8*multi_pop entries per iteration, so the
+    # worst-case stack depth scales with it
+    scratch = [
+        pltpu.SMEM((STACK_DEPTH * 8 * max(1, multi_pop),), jnp.int32)
+    ]
     rows_per_slot = 2 if max_recs > 8 else 1
     if tris_in_hbm:
         tri_spec = pl.BlockSpec(memory_space=pltpu.HBM)

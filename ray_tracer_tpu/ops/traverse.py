@@ -305,6 +305,7 @@ def _two_phase_ok(scene: CompiledScene, mode: str, routing: Routing) -> bool:
     + the tree actually has treelets + wide kernel."""
     return (
         routing.two_phase
+        and routing.multi_pop == 1
         and mode in ("vmem", "interpret:vmem")
         and routing.wide
         and scene.meta.get("n_treelets", 0) > 0
@@ -421,6 +422,7 @@ def traverse(
                 max_recs=scene.meta.get(
                     "wide_leaf_recs", 4 if scene.max_leaf_tris <= 4 else 8
                 ),
+                multi_pop=routing.multi_pop,
             )
             # kernel reports padded leaf-slot ids; map to global tri ids
             # (hot callers pass raw=True and use shade_slot rows instead)
@@ -553,6 +555,7 @@ def traverse_anyhit(
                         "wide_leaf_recs", 4 if scene.max_leaf_tris <= 4 else 8
                     ),
                 anyhit=True,
+                multi_pop=routing.multi_pop,
             )
         return (occ | (dst < -1.0)) & active
 

@@ -395,3 +395,43 @@ def test_xl_scene_routes_to_hbm():
         scene, rt.replace(vmem_budget=scene.wide_packed.shape[0] * 512 + 512)
     )
     assert forced_hbm == "hbm"
+
+
+@pytest.mark.parametrize("mp", [2, 4])
+def test_multi_pop_matches_single_pop(rand, mp):
+    """multi_pop>1 pops/visits several stack entries per loop iteration
+    (latency hiding); the walk must stay equivalent to the classic
+    single-pop kernel.  Visit ORDER changes, so exact-tie lanes (two
+    triangles at identical t) may legitimately report a different prim —
+    geometry at the hit is compared instead of raw ids."""
+    scene = _random_mesh_scene(rand, n_tris=150)
+    n = 700
+    o = jnp.asarray(rand.uniform(-4, 4, (n, 3)).astype(np.float32))
+    d = rand.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    act = jnp.ones(n, bool)
+    ref = traverse.traverse(scene, o, d, act, routing=INTERP)
+    got = traverse.traverse(
+        scene, o, d, act, routing=INTERP.replace(multi_pop=mp)
+    )
+    m = np.asarray(ref.did_hit)
+    np.testing.assert_array_equal(np.asarray(got.did_hit), m)
+    np.testing.assert_array_equal(
+        np.asarray(got.dst)[m], np.asarray(ref.dst)[m]
+    )
+    tv = np.asarray(scene.tri_v0)
+    assert (
+        tv[np.asarray(got.prim)[m]] == tv[np.asarray(ref.prim)[m]]
+    ).all()
+    # anyhit occlusion equivalence
+    tmax = jnp.asarray(rand.uniform(0.2, 3.0, n).astype(np.float32))
+    occ_ref = np.asarray(
+        traverse.traverse_anyhit(scene, o, d, act, tmax, routing=INTERP)
+    )
+    occ = np.asarray(
+        traverse.traverse_anyhit(
+            scene, o, d, act, tmax, routing=INTERP.replace(multi_pop=mp)
+        )
+    )
+    np.testing.assert_array_equal(occ, occ_ref)
