@@ -545,6 +545,34 @@ def rb_metallic_demo(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
     return b
 
 
+def bobadog_demo(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
+    """README-featured eggplant-dog model (reference README.md:22-23 links
+    renders/bobadog.png, which is absent from the repo — so no parity row
+    is definable).  The point of this preset is the fully AUTOMATIC
+    OBJ->MTL->texture pipeline on a shipped asset: bobadog.mtl assigns
+    bobaxture2.png via ``map_Ka`` (mtlio routes map_Ka/map_Kd to the
+    albedo slot, vk_engine.cpp:1109-1141) and every usemtl group resolves
+    its own MTL material — no manual add_texture/material assignment,
+    unlike the weapon gallery whose objs ship without MTLs.  Staged in the
+    Cornell box at the +z gallery viewpoint, feet on the floor plane
+    (y-down: position_y = 0.5 - scale*mesh_max_y)."""
+    b = SceneBuilder()
+    default_materials(b)
+    b.add_obj(
+        os.path.join(assets, "bobadog", "bobadog.obj"),
+        position=(-0.5, 0.835, 0.16),
+        rotation_deg=(0.0, 160.0, 0.0),
+        scale=0.5,
+        sampler=1,
+        name="bobadog",
+    )
+    cornell_box(b, assets)
+    b.set_camera(
+        Camera(position=(0.0, -0.5, 3.5), angles_deg=(4.0, 180.0, 0.0))
+    )
+    return b
+
+
 def sponza_proxy(n_tris_target: int = 260_000, seed: int = 7) -> SceneBuilder:
     """Sponza-scale procedural stand-in (BASELINE config 5).
 

@@ -129,3 +129,28 @@ def test_mtlmap_solid_and_camera_override():
         if inst.name == "rb"
     ]
     assert glass and all(m.ior == 2.0 for m in glass)
+
+
+def test_bobadog_automatic_mtl_pipeline():
+    # README-featured model: the ONLY in-tree asset with a complete
+    # obj+mtl+texture set — proves map_Ka ingestion and per-usemtl-group
+    # MTL material resolution with zero manual assignment
+    b = presets.bobadog_demo()
+    s = b.compile()
+    assert s.meta["n_textures"] >= 1  # bobaxture2.png via map_Ka
+    dog_mats = [
+        b.materials[inst.material]
+        for _, inst in b.instances
+        if inst.name == "bobadog"
+    ]
+    assert dog_mats
+    assert any(m.albedo_tex >= 0 for m in dog_mats)  # Bobadog group
+    assert s.meta["n_tris"] > 2000
+
+
+def test_bobadog_renders():
+    scene = presets.bobadog_demo().compile().device_put()
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=2,
+                       bounce_limit=3)
+    img = np.asarray(render(scene, cfg))
+    assert np.isfinite(img).all() and img.mean() > 0.01

@@ -55,6 +55,7 @@ def main():
             sc.wide_packed, sc.leaf_rows, o, d, tm, 0,
             packet_size=psize, with_visits=True, anyhit=anyhit,
             max_recs=sc.meta.get("wide_leaf_recs", 8),
+            multi_pop=int(os.environ.get("RT_MULTI_POP", 1)),
         )
 
     # primary hits for bounce-ray generation
