@@ -254,8 +254,13 @@ def main():
         acc = np.zeros((H, W, 3), np.float32)
         chunk = min(spp, 8)
         cfg = RenderConfig(
-            width=W, height=H, samples_per_pixel=chunk, bounce_limit=8,
-            max_rays_per_batch=1 << 17, **cfg_kw,
+            **{
+                # case overrides (e.g. obj_normals' recorded bounce_limit 1)
+                # take precedence over the harness defaults
+                "width": W, "height": H, "samples_per_pixel": chunk,
+                "bounce_limit": 8, "max_rays_per_batch": 1 << 17,
+                **cfg_kw,
+            }
         )
         np.asarray(render_frame(scene, cfg, sample_base=0))  # compile warmup
         t0 = _t.perf_counter()
