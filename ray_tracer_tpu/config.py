@@ -63,6 +63,13 @@ class Routing:
     # visits' vector work overlap; traversal order changes slightly
     # (pruning efficiency only, never correctness).  1 = the classic walk.
     multi_pop: int = 1
+    # Wide-kernel child-mask scheme ('sum2'|'sum4'|'rollor').  The mask's
+    # cross-lane reductions are the dominant interior-visit cost (~590ns
+    # of ~770ns under sum4, BENCH_NOTES r3 ablation); 'sum2' pre-folds
+    # sublanes and packs 4 children x 8-bit count fields per word so only
+    # TWO lane reductions are issued.  'rollor' (explicit roll+OR fold,
+    # one sum) measured slower than sum4 — kept as a measurement harness.
+    mask_mode: str = "sum2"
 
     @staticmethod
     def from_env() -> "Routing":
@@ -82,6 +89,7 @@ class Routing:
             two_phase=os.environ.get("RT_TWO_PHASE", "0") != "0",
             top_k=int(os.environ.get("RT_TOP_K", 5)),
             multi_pop=int(os.environ.get("RT_MULTI_POP", 1)),
+            mask_mode=os.environ.get("RT_MASK_MODE", "sum2"),
         )
 
     def replace(self, **kw) -> "Routing":

@@ -316,6 +316,7 @@ def _packet8_kernel(
     top_k: int = 0,
     deep_e: int = 0,
     multi_pop: int = 1,
+    mask_mode: str = "sum4",
 ):
     rest = list(rest)
     if top_k:
@@ -521,18 +522,70 @@ def _packet8_kernel(
         best = dst_ref[...]
 
         def visit_leaf(code, s):
+            if os.environ.get("RT_ABLATE", "") == "skeleton_nl":
+                return s  # measurement-only: leaf visit = pop + cond
             # leaf code payload: -(slot*16 + cnt) - 1
             leaf_tris((-code - 1) // 16)
             return s
 
-        def visit_interior(code, sp, best):
-            row = node_row(code)  # (1,128): whole wide node
-            # Per-child any-hit -> scalar bitmask with 4 reductions: two
-            # children share one i32 sum, counts packed 15 bits apart (lane
-            # count <= 8192 so fields cannot carry).  (A plain bitwise-or
-            # reduce miscompiles in Mosaic: arith.shrsi i1 operand bug.)
-            mask = jnp.int32(0)
+        def compute_mask(row, best):
+            """Per-child 'any live lane wants child c' -> 8-bit scalar mask.
+
+            The vector->scalar transfer here is the dominant interior-visit
+            cost (BENCH_NOTES r3 ablation: the slab math + extracts are
+            ~150ns, the mask sums ~590ns under 'sum4') — the expensive part
+            is the cross-LANE reduction shuffle tree inside each jnp.sum,
+            so the schemes differ in how many lane reductions they issue:
+
+            * sum4: 4 sums, two children per i32 word (15-bit count
+              fields; lane count <= 8192 cannot carry).
+            * sum2: OR-pack all 8 hit bits per lane, fold sublanes by
+              static-slice halving (cheap sublane work), then spread the
+              folded 4+4 bits into two words of 4x8-bit fields (per-lane
+              field value 0/1, <=128 lanes so counts fit) -> 2 sums.
+            * rollor: fold lanes with explicit log2 pltpu.roll+OR then one
+              sum — measured SLOWER than sum4 (the rolls pay the same
+              shuffle cost the reductions do, ~70ns each).
+            """
             hvecs = []
+            if mask_mode in ("sum2", "rollor"):
+                packed = None
+                for c in range(8):
+                    hv = child_hit(row, c, best)
+                    if top_k:
+                        hvecs.append(hv)
+                    b = jnp.where(hv, jnp.int32(1 << c), 0)
+                    packed = b if packed is None else (packed | b)
+                rows = packed.shape[0]
+                while rows > 1:
+                    packed = packed[: rows // 2] | packed[rows // 2 : rows]
+                    rows //= 2
+                if mask_mode == "rollor":
+                    for sh in (1, 2, 4, 8, 16, 32, 64):
+                        packed = packed | pltpu.roll(packed, sh, axis=1)
+                    return jnp.sum(packed) >> 7, hvecs  # exact: mask<=255
+                spread = lambda m: (
+                    (m & 1) | ((m & 2) << 7) | ((m & 4) << 14)
+                    | ((m & 8) << 21)
+                )
+                s0 = jnp.sum(spread(packed & 0xF))
+                s1 = jnp.sum(spread((packed >> 4) & 0xF))
+                mask = jnp.int32(0)
+                for k in range(4):
+                    mask = mask | (
+                        jnp.where(
+                            ((s0 >> (8 * k)) & 0xFF) > 0, jnp.int32(1), 0
+                        )
+                        << k
+                    )
+                    mask = mask | (
+                        jnp.where(
+                            ((s1 >> (8 * k)) & 0xFF) > 0, jnp.int32(1), 0
+                        )
+                        << (4 + k)
+                    )
+                return mask, hvecs
+            mask = jnp.int32(0)
             for k in range(4):
                 hv_a = child_hit(row, 2 * k, best)
                 hv_b = child_hit(row, 2 * k + 1, best)
@@ -544,6 +597,123 @@ def _packet8_kernel(
                 any_a = jnp.where((word & 0x7FFF) > 0, jnp.int32(1), 0)
                 any_b = jnp.where((word >> 15) > 0, jnp.int32(1), 0)
                 mask = mask | (any_a << (2 * k)) | (any_b << (2 * k + 1))
+            return mask, hvecs
+
+        def visit_interior(code, sp, best):
+            row = node_row(code)  # (1,128): whole wide node
+            _abl = os.environ.get("RT_ABLATE", "")
+            if _abl:
+                # measurement-only variants (tools/measure_visit_cost):
+                # garbage traversal, but per-visit cost stays meaningful.
+                valid = jnp.int32(0)
+                acodes = [meta_ref[code * 12 + c] for c in range(8)]
+                for c in range(8):
+                    valid = valid | (
+                        jnp.where(acodes[c] != 0, jnp.int32(1), 0) << c
+                    )
+                if _abl == "skeleton_bp":
+                    # skeleton with BRANCHLESS pushes: unconditional SMEM
+                    # stores at prefix-sum offsets (junk beyond sp ignored)
+                    axis = meta_ref[code * 12 + 8]
+                    neg = jnp.where(
+                        axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z)
+                    )
+                    mask = valid
+                    s = sp
+                    for c in range(8):
+                        slot = jnp.where(neg, c, 7 - c)
+                        bit = (mask >> slot) & 1
+                        val = jnp.where(neg, acodes[c], acodes[7 - c])
+                        stack_ref[s] = val
+                        s = s + bit
+                    return s
+                if _abl in ("skeleton", "skeleton_nl"):
+                    # no vector work at all: scalar pop/meta/push floor
+                    mask = valid
+                elif _abl == "mask_real_ff":
+                    # REAL mask computation (whatever mask_mode says), but
+                    # the result is OR'd with `valid` -> descend-all walk,
+                    # bit-identical visits to skeleton/mask_ff.  The time
+                    # delta vs mask_ff is the pure sync cost per visit.
+                    mask, _ = compute_mask(row, best)
+                    mask = mask | valid
+                elif _abl == "mask_ff":
+                    # slab math + extracts, no reductions
+                    acc = None
+                    for c in range(8):
+                        hv = child_hit(row, c, best)
+                        b = jnp.where(hv, jnp.int32(1 << c), 0)
+                        acc = b if acc is None else (acc | b)
+                    # fold to (1,128) so the value is "used" w/o reduction
+                    r = acc.shape[0]
+                    while r > 1:
+                        acc = acc[: r // 2] | acc[r // 2 : r]
+                        r //= 2
+                    dst_ref[0:1, :] = dst_ref[0:1, :] + 0.0 * acc.astype(
+                        jnp.float32
+                    )
+                    mask = valid
+                elif _abl == "const_bounds":
+                    # real sums, no row extracts: bounds faked from `code`
+                    cf = code.astype(jnp.float32)
+                    mask = jnp.int32(0)
+                    for k in range(4):
+                        def fake_hit(c):
+                            t1x = (cf * 0.001 + c) * inv_x - oxi
+                            t2x = (cf * 0.002 + c) * inv_x - oxi
+                            t1y = (cf * 0.001 + c) * inv_y - oyi
+                            t2y = (cf * 0.002 + c) * inv_y - oyi
+                            t1z = (cf * 0.001 + c) * inv_z - ozi
+                            t2z = (cf * 0.002 + c) * inv_z - ozi
+                            tmin = jnp.maximum(
+                                jnp.maximum(
+                                    jnp.minimum(t1x, t2x),
+                                    jnp.minimum(t1y, t2y),
+                                ),
+                                jnp.minimum(t1z, t2z),
+                            )
+                            tmax = jnp.minimum(
+                                jnp.minimum(
+                                    jnp.maximum(t1x, t2x),
+                                    jnp.maximum(t1y, t2y),
+                                ),
+                                jnp.maximum(t1z, t2z),
+                            )
+                            return (
+                                (tmax >= tmin) & (tmax > 0) & (tmin < best)
+                            )
+                        h_a = jnp.where(fake_hit(2 * k), jnp.int32(1), 0)
+                        h_b = jnp.where(
+                            fake_hit(2 * k + 1), jnp.int32(1 << 15), 0
+                        )
+                        word = jnp.sum(h_a + h_b)
+                        any_a = jnp.where(
+                            (word & 0x7FFF) > 0, jnp.int32(1), 0
+                        )
+                        any_b = jnp.where((word >> 15) > 0, jnp.int32(1), 0)
+                        mask = (
+                            mask | (any_a << (2 * k)) | (any_b << (2 * k + 1))
+                        )
+                    mask = mask & valid
+                else:
+                    raise ValueError(_abl)
+                axis = meta_ref[code * 12 + 8]
+                neg = jnp.where(
+                    axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z)
+                )
+                s = sp
+                for c in range(8):
+                    slot = jnp.where(neg, c, 7 - c)
+                    bit = (mask >> slot) & 1
+                    val = jnp.where(neg, acodes[c], acodes[7 - c])
+
+                    @pl.when(bit == 1)
+                    def _(s=s, val=val):
+                        stack_ref[s] = val
+
+                    s = s + bit
+                return s
+            mask, hvecs = compute_mask(row, best)
             if use_meta:
                 # codes/axis as scalar SMEM loads — measured ~5% faster
                 # than the 8 strided vector extracts per visit
@@ -646,7 +816,7 @@ def _packet8_kernel(
     static_argnames=(
         "interpret", "packet_size", "tris_in_hbm", "nodes_in_hbm",
         "max_recs", "anyhit", "with_visits", "top_k", "deep_e",
-        "multi_pop",
+        "multi_pop", "mask_mode",
     ),
 )
 def packet_traverse_wide(
@@ -668,6 +838,7 @@ def packet_traverse_wide(
     deep_e: int = 0,
     entries: jnp.ndarray = None,  # (G,E) i32 per-packet entry lists
     multi_pop: int = 1,
+    mask_mode: str = "sum2",
 ):
     """BVH8 packet traversal; same contract as :func:`packet_traverse`,
     except ``prim`` returns *padded leaf-slot ids* (slot*8 + k) — map them
@@ -705,6 +876,9 @@ def packet_traverse_wide(
     n = origin.shape[0]
     g = -(-n // p_size)
     pad = g * p_size - n
+    # sum2/rollor sublane halving needs a power-of-two row count
+    if mask_mode != "sum4" and not (sub > 0 and (sub & (sub - 1)) == 0):
+        mask_mode = "sum4"
 
     def prep(x):
         x = jnp.pad(x, ((0, pad),))
@@ -771,6 +945,7 @@ def packet_traverse_wide(
         top_k=top_k,
         deep_e=deep_e,
         multi_pop=multi_pop,
+        mask_mode=mask_mode,
     )
     # multi_pop visits push up to 8*multi_pop entries per iteration, so the
     # worst-case stack depth scales with it

@@ -423,6 +423,7 @@ def traverse(
                     "wide_leaf_recs", 4 if scene.max_leaf_tris <= 4 else 8
                 ),
                 multi_pop=routing.multi_pop,
+                mask_mode=routing.mask_mode,
             )
             # kernel reports padded leaf-slot ids; map to global tri ids
             # (hot callers pass raw=True and use shade_slot rows instead)
@@ -556,6 +557,7 @@ def traverse_anyhit(
                     ),
                 anyhit=True,
                 multi_pop=routing.multi_pop,
+                mask_mode=routing.mask_mode,
             )
         return (occ | (dst < -1.0)) & active
 

@@ -56,6 +56,7 @@ def main():
             packet_size=psize, with_visits=True, anyhit=anyhit,
             max_recs=sc.meta.get("wide_leaf_recs", 8),
             multi_pop=int(os.environ.get("RT_MULTI_POP", 1)),
+            mask_mode=os.environ.get("RT_MASK_MODE", "sum2"),
         )
 
     # primary hits for bounce-ray generation
