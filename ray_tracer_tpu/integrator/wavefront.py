@@ -80,11 +80,21 @@ def _shade_fetch(scene: CompiledScene, rays: CameraRays, hit: traverse.Hit,
     """All deferred shading attributes from ONE fat-row gather.
 
     Returns ``(hp, normal, uv, albedo, emission, reflectance, ior, tex_id,
-    sampler)``.  Per-lane XLA gathers are the dominant per-bounce fixed cost
-    on TPU, so everything (vertex attrs AND material/instance params) comes
-    from one precompiled 32-float row — see ``CompiledScene.shade_tri`` /
-    ``shade_slot``; ``space`` picks the table matching the id space the
-    traversal reported (:func:`ray_tracer_tpu.ops.traverse.prim_space`).
+    sampler, metal_tex, alpha_tex, front)``.  Per-lane XLA gathers are the
+    dominant per-bounce fixed cost on TPU, so everything (vertex attrs AND
+    material/instance params) comes from one precompiled 48-float row — see
+    ``CompiledScene.shade_tri`` / ``shade_slot``; ``space`` picks the table
+    matching the id space the traversal reported
+    (:func:`ray_tracer_tpu.ops.traverse.prim_space`).
+
+    Triangle barycentrics + facing are RE-DERIVED here from the row's
+    geometry fields (v0/e1/e2/n at 32:44) instead of read from ``hit``:
+    the wide packet kernel tracks only (dst, prim) in its hot leaf loop
+    (``kernels/packet.py::_tri_t``), and re-evaluating Moller-Trumbore on
+    the same record values reproduces exactly what an in-kernel tracker
+    would have stored — without a second (N,16) leaf-record gather (XLA
+    gather cost is per op, not per row width).  Sphere lanes keep the
+    facing bit the sphere intersector reported in ``hit.front``.
 
     Sphere normals per raytrace.comp:220 (small-table gathers, only when
     the scene has spheres); triangle normals are the barycentric
@@ -97,12 +107,34 @@ def _shade_fetch(scene: CompiledScene, rays: CameraRays, hit: traverse.Hit,
     is_tri = hit.kind == traverse.KIND_TRI
     tri_i = jnp.where(is_tri, hit.prim, 0)
     table = scene.shade_slot if space == "slot" else scene.shade_tri
-    srow = table[tri_i]  # (N,32): the ONE hot gather
+    srow = table[tri_i]  # (N,48): the ONE hot gather
 
-    w = 1.0 - hit.u - hit.v
+    if scene.meta.get("flattened", False):
+        # Moller-Trumbore re-evaluation (same formulas + zero-direction
+        # epsilon as kernels/packet.py::_tri_t / ops/traverse.py's walk).
+        # Valid only on the flattened path, where the row's geometry and
+        # the rays share world space; forest mode intersects in OBJECT
+        # space (traverse.py:489-492), so its walk-produced u/v/front are
+        # used as-is (packet kernels never run on forest scenes).
+        d_eps = jnp.where(rays.direction == 0.0, 1e-20, rays.direction)
+        r3 = rays.origin - srow[:, 32:35]
+        q3 = jnp.cross(r3, d_eps)
+        d0 = -jnp.sum(d_eps * srow[:, 41:44], axis=1)
+        dinv = 1.0 / jnp.where(d0 == 0.0, 1e-20, d0)
+        hu = jnp.where(
+            is_tri, jnp.sum(srow[:, 38:41] * q3, axis=1) * dinv, 0.0
+        )
+        hv = jnp.where(
+            is_tri, -jnp.sum(srow[:, 35:38] * q3, axis=1) * dinv, 0.0
+        )
+        front = jnp.where(is_tri, d0 >= 1e-8, hit.front)
+    else:
+        hu, hv, front = hit.u, hit.v, hit.front
+
+    w = 1.0 - hu - hv
     vn0, vn1, vn2 = srow[:, 0:3], srow[:, 3:6], srow[:, 6:9]
-    n_obj = vn0 * w[:, None] + vn1 * hit.u[:, None] + vn2 * hit.v[:, None]
-    n_obj = n_obj * jnp.where(hit.front, 1.0, -1.0)[:, None]
+    n_obj = vn0 * w[:, None] + vn1 * hu[:, None] + vn2 * hv[:, None]
+    n_obj = n_obj * jnp.where(front, 1.0, -1.0)[:, None]
     if scene.meta.get("flattened", False):
         # Geometry (and vertex normals) were baked to world space; the
         # per-hit obj_transform gather + matmul would multiply by identity.
@@ -115,7 +147,7 @@ def _shade_fetch(scene: CompiledScene, rays: CameraRays, hit: traverse.Hit,
     )
 
     uv0, uv1, uv2 = srow[:, 9:11], srow[:, 11:13], srow[:, 13:15]
-    uv = uv0 * w[:, None] + uv1 * hit.u[:, None] + uv2 * hit.v[:, None]
+    uv = uv0 * w[:, None] + uv1 * hu[:, None] + uv2 * hv[:, None]
     uv = jnp.where(srow[:, 15:16] > 0.5, 0.5, uv)  # raytrace.comp:254-256
 
     if scene.meta.get("flattened", False):
@@ -152,7 +184,7 @@ def _shade_fetch(scene: CompiledScene, rays: CameraRays, hit: traverse.Hit,
         s_n = s_n / jnp.maximum(
             jnp.linalg.norm(s_n, axis=-1, keepdims=True), 1e-20
         )
-        s_n = s_n * jnp.where(hit.front, 1.0, -1.0)[:, None]
+        s_n = s_n * jnp.where(front, 1.0, -1.0)[:, None]
         normal = jnp.where(is_sphere[:, None], s_n, normal)
         smat = scene.sphere_mat[sphere_i]
         sp = is_sphere[:, None]
@@ -174,7 +206,7 @@ def _shade_fetch(scene: CompiledScene, rays: CameraRays, hit: traverse.Hit,
         alpha_tex = jnp.where(is_sphere, scene.mat_alpha_tex[smat], alpha_tex)
 
     return (hp, normal, uv, albedo, emission, reflectance, ior, tex_id,
-            sampler, metal_tex, alpha_tex)
+            sampler, metal_tex, alpha_tex, front)
 
 
 def _apply_material_maps(scene, cfg, uv, sampler, albedo, emission,
@@ -319,7 +351,7 @@ def trace(
     else:
         hit0 = traverse.traverse(
             scene, rays.origin, rays.direction, jnp.ones((n,), bool),
-            raw=use_raw, routing=rt,
+            raw=use_raw, routing=rt, need_uv=False,
         )
         box0 = tri0 = jnp.zeros((), jnp.float32)
 
@@ -342,7 +374,7 @@ def trace(
         did = carry.alive & hit.did_hit
 
         (hp, normal, uv, albedo, emission, reflectance, ior, tex_id,
-         sampler, metal_tex, alpha_tex) = _shade_fetch(
+         sampler, metal_tex, alpha_tex, front) = _shade_fetch(
             scene, CameraRays(carry.origin, carry.direction), hit, space
         )
         albedo, emission, reflectance, cutout = _apply_material_maps(
@@ -404,7 +436,7 @@ def trace(
         dir_spec = intersect.reflect(carry.direction, normal)
 
         # dielectric (raytrace.comp:471-481)
-        ior_eff = jnp.where(hit.front, 1.0 / ior, ior)
+        ior_eff = jnp.where(front, 1.0 / ior, ior)
         cosine = dot(-carry.direction, normal)
         sine = jnp.sqrt(jnp.maximum(0.0, 1.0 - cosine * cosine))
         solution = (ior_eff * sine > 1.0) | (
@@ -487,7 +519,8 @@ def trace(
             # sentinel) after diffuse bounces, preserving the reference's
             # 0/1-NEE emission suppression (raytrace.comp:500-505).
             hit_next = traverse.traverse(
-                scene, new_origin, new_dir, alive, raw=use_raw, routing=rt
+                scene, new_origin, new_dir, alive, raw=use_raw, routing=rt,
+                need_uv=False,
             )
             nee_active = jnp.zeros_like(nee_active)
             nee_sem = jnp.zeros_like(nee_sem)
@@ -505,7 +538,8 @@ def trace(
             # scenes whose only emitters are the light rects (all presets,
             # and everything the reference ships) are unaffected.
             hit_next = traverse.traverse(
-                scene, new_origin, new_dir, alive, raw=use_raw, routing=rt
+                scene, new_origin, new_dir, alive, raw=use_raw, routing=rt,
+                need_uv=False,
             )
             occluded = traverse.traverse_anyhit(
                 scene, nee_origin, l_dir, nee_active,
@@ -568,12 +602,13 @@ def trace(
                 )
                 both = traverse.traverse(
                     scene, o_both[order], d_both[order], a_both[order],
-                    tmax=t_both[order], routing=rt,
+                    tmax=t_both[order], routing=rt, need_uv=False,
                 )
                 both = jax.tree.map(lambda x: x[dest], both)
             else:
                 both = traverse.traverse(
-                    scene, o_both, d_both, a_both, tmax=t_both, routing=rt
+                    scene, o_both, d_both, a_both, tmax=t_both, routing=rt,
+                    need_uv=False,
                 )
             hit_next = jax.tree.map(lambda x: x[:n], both)
             nee_hit = jax.tree.map(lambda x: x[n:], both)
@@ -772,7 +807,7 @@ def trace_wave(
     rays0 = primary_rays(pix0, sample_base + s0)
     hit0 = traverse.traverse(
         scene, rays0.origin, rays0.direction, jnp.ones((n,), bool),
-        raw=use_raw, routing=rt,
+        raw=use_raw, routing=rt, need_uv=False,
     )
     init = Wave(
         origin=rays0.origin,
@@ -801,7 +836,7 @@ def trace_wave(
         did = w.alive & hit.did_hit
 
         (hp, normal, uv, albedo, emission, reflectance, ior, tex_id,
-         sampler, metal_tex, alpha_tex) = _shade_fetch(
+         sampler, metal_tex, alpha_tex, front) = _shade_fetch(
             scene, CameraRays(w.origin, w.direction), hit, space
         )
         albedo, emission, reflectance, cutout = _apply_material_maps(
@@ -857,7 +892,7 @@ def trace_wave(
         ]
 
         dir_spec = intersect.reflect(w.direction, normal)
-        ior_eff = jnp.where(hit.front, 1.0 / ior, ior)
+        ior_eff = jnp.where(front, 1.0 / ior, ior)
         cosine = dot(-w.direction, normal)
         sine = jnp.sqrt(jnp.maximum(0.0, 1.0 - cosine * cosine))
         solution = (ior_eff * sine > 1.0) | (
@@ -984,7 +1019,8 @@ def trace_wave(
 
         # ---- traverse the merged wavefront (bounce ++ regenerated primary)
         hit_next = traverse.traverse(
-                scene, new_origin, new_dir, alive, raw=use_raw, routing=rt
+                scene, new_origin, new_dir, alive, raw=use_raw, routing=rt,
+                need_uv=False,
             )
 
         # ---- NEE shadow query for continuing diffuse lanes
@@ -1007,7 +1043,7 @@ def trace_wave(
         else:
             nee_hit = traverse.traverse(
                 scene, nee_origin, l_dir, nee_active,
-                tmax=l_dist * 1.002 + 1e-3, routing=rt,
+                tmax=l_dist * 1.002 + 1e-3, routing=rt, need_uv=False,
             )
             nee_mat = jnp.where(
                 nee_hit.kind == traverse.KIND_SPHERE,

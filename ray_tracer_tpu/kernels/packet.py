@@ -40,8 +40,8 @@ BIG = 99999999.0  # python float: jnp scalars become captured consts in pallas
 # it on cornell/klein (26.2/26.3, 5.8/5.9), so 2048 is the default; the
 # round-1 easy-geometry measurements favored 4096.
 PACKET = int(os.environ.get("RT_PACKET_SIZE", 2048))
-assert PACKET % 1024 == 0
-_SUB, _LANE = 8 * (PACKET // 1024), 128
+assert PACKET % 128 == 0
+_SUB, _LANE = PACKET // 128, 128
 STACK_DEPTH = 96  # builder max depth is 64 (vk_engine.cpp:1215) + margin
 
 
@@ -223,6 +223,7 @@ def packet_traverse(
     N is padded to a PACKET multiple internally.
     """
     p_size = packet_size or PACKET
+    assert p_size % 1024 == 0, "narrow kernel: packet_size must be 1024k"
     sub = 8 * (p_size // 1024)
     n = origin.shape[0]
     g = -(-n // p_size)
@@ -305,7 +306,7 @@ def _packet8_kernel(
     dx_ref, dy_ref, dz_ref,
     tmax_ref,
     entry_ref,  # (1,1) i32 SMEM entry code; deep mode: flat (G*E,) lists
-    dst_ref, prim_ref, u_ref, v_ref, front_ref,
+    dst_ref, prim_ref,
     *rest,  # [emit slots + cnt + ovf when top_k,] [vis refs,] stack, scratch
     tris_in_hbm: bool = False,
     nodes_in_hbm: bool = False,
@@ -352,9 +353,6 @@ def _packet8_kernel(
 
     dst_ref[...] = tmax_ref[...]
     prim_ref[...] = jnp.full_like(prim_ref[...], -1)
-    u_ref[...] = jnp.zeros_like(u_ref[...])
-    v_ref[...] = jnp.zeros_like(v_ref[...])
-    front_ref[...] = jnp.zeros_like(front_ref[...])
     if top_k:
         for k in range(top_k):
             emit_refs[k][...] = jnp.full_like(emit_refs[k][...], -1)
@@ -388,10 +386,16 @@ def _packet8_kernel(
         )
         return (tmax >= tmin) & (tmax > 0) & (tmin < best)
 
-    def _tri_test(trow, ti):
+    def _tri_t(trow):
         """Dense Moller-Trumbore of one packed 16-float record vs all lanes.
 
-        NaN records (leaf-row padding) fail every comparison -> no hit."""
+        Returns the accepted-hit distance per lane, BIG on miss.  NaN
+        records (leaf-row padding) fail every comparison -> no hit.  u, v
+        and the facing bit are NOT produced here: the kernel only tracks
+        (dst, prim), and the caller reconstructs barycentrics/facing for
+        the single winning record per ray outside the kernel (one 16-float
+        gather + one MT evaluation per ray) — dropping 3 masked VMEM
+        read-modify-writes per record from the hot leaf loop."""
         rx = ox - trow[0, 0]
         ry = oy - trow[0, 1]
         rz = oz - trow[0, 2]
@@ -408,21 +412,7 @@ def _packet8_kernel(
         front = d0 >= 1e-8
         ok = (t >= 0) & (u >= 0) & (v >= 0) & (w >= 0)
         ok = ok & ~((~front) & (trow[0, 12] > 0.5))
-        closer = ok & (t < dst_ref[...])
-        if anyhit:
-            # Occlusion-only: ANY hit inside the lane's clip distance marks
-            # the lane occluded (-BIG), which also prunes it out of every
-            # subsequent node vote — lanes drop out at their FIRST hit
-            # instead of walking to the closest one.
-            dst_ref[...] = jnp.where(closer, -BIG, dst_ref[...])
-            return
-        dst_ref[...] = jnp.where(closer, t, dst_ref[...])
-        prim_ref[...] = jnp.where(closer, ti, prim_ref[...])
-        u_ref[...] = jnp.where(closer, u, u_ref[...])
-        v_ref[...] = jnp.where(closer, v, v_ref[...])
-        front_ref[...] = jnp.where(
-            closer, front.astype(jnp.float32), front_ref[...]
-        )
+        return jnp.where(ok, t, BIG)
 
     # Merged-leaf scenes pack 16 records across TWO consecutive rows per
     # slot (builder merge_wide_leaves); record ids stay slot*8+k because
@@ -434,9 +424,36 @@ def _packet8_kernel(
         # real VPU work, so scenes built with max_leaf<=4 unroll only 4
         # (their rows never hold more).  A runtime cnt branch was measured
         # 12% SLOWER than the wasted NaN tests (lax.cond per leaf visit).
+        # The records fold through a register min-tree (strict < so the
+        # EARLIEST record wins exact ties, matching the sequential-update
+        # semantics of the gather-walk oracle) into ONE dst/prim update.
+        cands = []
         for k in range(max_recs):
             trow = block[k // 8 : k // 8 + 1, 16 * (k % 8) : 16 * (k % 8 + 1)]
-            _tri_test(trow, slot * 8 + k)  # padded id; mapped outside
+            cands.append((_tri_t(trow), slot * 8 + k))  # padded id
+        while len(cands) > 1:
+            nxt = []
+            for i in range(0, len(cands) - 1, 2):
+                ta, ka = cands[i]
+                tb, kb = cands[i + 1]
+                take_b = tb < ta
+                nxt.append(
+                    (jnp.minimum(ta, tb), jnp.where(take_b, kb, ka))
+                )
+            if len(cands) % 2:
+                nxt.append(cands[-1])
+            cands = nxt
+        tbest, kbest = cands[0]
+        closer = tbest < dst_ref[...]
+        if anyhit:
+            # Occlusion-only: ANY hit inside the lane's clip distance marks
+            # the lane occluded (-BIG), which also prunes it out of every
+            # subsequent node vote — lanes drop out at their FIRST hit
+            # instead of walking to the closest one.
+            dst_ref[...] = jnp.where(closer, -BIG, dst_ref[...])
+            return
+        dst_ref[...] = jnp.where(closer, tbest, dst_ref[...])
+        prim_ref[...] = jnp.where(closer, kbest, prim_ref[...])
 
     sc = list(scratch)
     tri_bufs = sc[:2] if tris_in_hbm else []
@@ -546,9 +563,16 @@ def _packet8_kernel(
             * rollor: fold lanes with explicit log2 pltpu.roll+OR then one
               sum — measured SLOWER than sum4 (the rolls pay the same
               shuffle cost the reductions do, ~70ns each).
+            * mxu: offload the lane reduction to the MATRIX unit — unpack
+              the folded (1,128) bit row into 8 child rows (8,128), one
+              (8,128)@(128,1) f32 matvec (exact: 0/1 values, counts<=128)
+              gives per-child lane counts, weight the >0 bits by 2^c and
+              sublane-fold -> the whole 8-bit mask arrives in ONE scalar
+              read.  Leaves the VPU shuffle network out of the visit's
+              critical path entirely.
             """
             hvecs = []
-            if mask_mode in ("sum2", "rollor"):
+            if mask_mode in ("sum2", "rollor", "mxu"):
                 packed = None
                 for c in range(8):
                     hv = child_hit(row, c, best)
@@ -564,6 +588,29 @@ def _packet8_kernel(
                     for sh in (1, 2, 4, 8, 16, 32, 64):
                         packed = packed | pltpu.roll(packed, sh, axis=1)
                     return jnp.sum(packed) >> 7, hvecs  # exact: mask<=255
+                if mask_mode == "mxu":
+                    rows8 = jnp.concatenate(
+                        [
+                            ((packed >> c) & 1).astype(jnp.float32)
+                            for c in range(8)
+                        ],
+                        axis=0,
+                    )  # (8,128): row c = child c's per-lane hit bit
+                    counts = jax.lax.dot_general(
+                        rows8,
+                        jnp.ones((128, 1), jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (8,1) exact lane counts (0/1 inputs, <=128)
+                    w8 = jnp.exp2(
+                        jax.lax.broadcasted_iota(jnp.float32, (8, 1), 0)
+                    )
+                    bits = jnp.where(counts > 0, w8, 0.0)
+                    r = 8
+                    while r > 1:
+                        bits = bits[: r // 2] + bits[r // 2 : r]
+                        r //= 2
+                    return bits[0, 0].astype(jnp.int32), hvecs
                 spread = lambda m: (
                     (m & 1) | ((m & 2) << 7) | ((m & 4) << 14)
                     | ((m & 8) << 21)
@@ -811,12 +858,39 @@ def _packet8_kernel(
         vis_leaf_ref[...] = jnp.full_like(vis_leaf_ref[...], final[2])
 
 
+def _reconstruct_uvfront(leaf_rows, origin, direction, prim):
+    """Barycentrics + facing for each ray's winning record, outside the
+    kernel.
+
+    The wide kernel tracks only (dst, prim) in the hot leaf loop (see
+    ``_tri_t``); here the ONE winning 16-float record per ray is gathered
+    (``leaf_rows`` is exactly 8 records x 16 floats per 128-lane row, so
+    padded id ``p`` is row ``p`` of the (L*8,16) view) and Moller-Trumbore
+    is re-evaluated with the same formulas and the same zero-direction
+    epsilon, reproducing the values the in-kernel test accepted.
+    """
+    rec = leaf_rows.reshape(-1, 16)[jnp.maximum(prim, 0)]
+    d = jnp.where(direction == 0.0, 1e-20, direction)
+    r = origin - rec[:, 0:3]
+    q = jnp.cross(r, d)
+    d0 = -jnp.sum(d * rec[:, 9:12], axis=1)
+    dinv = 1.0 / d0
+    u = jnp.sum(rec[:, 6:9] * q, axis=1) * dinv
+    v = -jnp.sum(rec[:, 3:6] * q, axis=1) * dinv
+    miss = prim < 0
+    return (
+        jnp.where(miss, 0.0, u),
+        jnp.where(miss, 0.0, v),
+        jnp.where(miss, False, d0 >= 1e-8),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "interpret", "packet_size", "tris_in_hbm", "nodes_in_hbm",
         "max_recs", "anyhit", "with_visits", "top_k", "deep_e",
-        "multi_pop", "mask_mode",
+        "multi_pop", "mask_mode", "need_uv",
     ),
 )
 def packet_traverse_wide(
@@ -839,6 +913,7 @@ def packet_traverse_wide(
     entries: jnp.ndarray = None,  # (G,E) i32 per-packet entry lists
     multi_pop: int = 1,
     mask_mode: str = "sum2",
+    need_uv: bool = True,
 ):
     """BVH8 packet traversal; same contract as :func:`packet_traverse`,
     except ``prim`` returns *padded leaf-slot ids* (slot*8 + k) — map them
@@ -872,7 +947,12 @@ def packet_traverse_wide(
         "multi_pop composes with the single-phase walk only"
     )
     p_size = packet_size or PACKET
-    sub = 8 * (p_size // 1024)
+    # One packet = sub (8,128)-subrows; any 128-multiple works (small
+    # packets trade scalar-loop amortization for a smaller node union —
+    # the per-visit sync cost is lane-reduction trees whose depth doesn't
+    # depend on sublane count, so sub-1024 packets are worth measuring).
+    assert p_size % 128 == 0, p_size
+    sub = p_size // 128
     n = origin.shape[0]
     g = -(-n // p_size)
     pad = g * p_size - n
@@ -919,11 +999,8 @@ def packet_traverse_wide(
     )
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.int32),
-        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.float32),  # dst
+        jax.ShapeDtypeStruct((g * sub, _LANE), jnp.int32),  # prim
     ]
     if top_k:
         out_shape += [
@@ -998,17 +1075,24 @@ def packet_traverse_wide(
         scratch_shapes=scratch,
         interpret=interpret,
     )(nodes, meta, leaf_rows, ox, oy, oz, dx, dy, dz, tmax, entry_arr)
-    dst, prim, u, v, front = outs[:5]
+    dst, prim = outs[:2]
 
     flat = lambda x: x.reshape(-1)[:n]
-    result = (
-        flat(dst),
-        flat(prim),
-        flat(u),
-        flat(v),
-        flat(front) > 0.5,
-    )
-    k = 5
+    dst_f, prim_f = flat(dst), flat(prim)
+    if anyhit or not need_uv:
+        # occlusion query: u/v/front are meaningless.  need_uv=False:
+        # the caller (the integrator) re-derives them from the winning
+        # record's fields inside its ONE fat shading-row gather
+        # (wavefront._shade_fetch), so the extra (N,16) leaf-record
+        # gather here would be pure overhead (~9% of the official bench).
+        zero = jnp.zeros_like(dst_f)
+        u_f, v_f, front_f = zero, zero, jnp.zeros_like(prim_f >= 1)
+    else:
+        u_f, v_f, front_f = _reconstruct_uvfront(
+            leaf_rows, origin, direction, prim_f
+        )
+    result = (dst_f, prim_f, u_f, v_f, front_f)
+    k = 2
     if top_k:
         slots = jnp.stack(
             [flat(outs[k + j]) for j in range(top_k)], axis=1

@@ -141,6 +141,7 @@ def _two_phase_wide(
     routing: Routing,
     interp: bool,
     anyhit: bool = False,
+    need_uv: bool = True,
 ):
     """Two-phase treelet packet traversal (round 3).
 
@@ -172,7 +173,7 @@ def _two_phase_wide(
         scene.wide_packed, scene.leaf_rows, origin, direction, tmax0,
         0, interpret=interp, packet_size=psize,
         max_recs=scene.meta.get("wide_leaf_recs", 8),
-        anyhit=anyhit, top_k=K, troot=scene.wide_troot,
+        anyhit=anyhit, top_k=K, troot=scene.wide_troot, need_uv=need_uv,
     )
     dstA, primA, uA, vA, frontA, slots, ovf = out
 
@@ -233,7 +234,7 @@ def _two_phase_wide(
             origin[ray_p], direction[ray_p], tm_p,
             0, interpret=interp, packet_size=psize,
             max_recs=scene.meta.get("wide_leaf_recs", 8),
-            anyhit=anyhit, deep_e=E, entries=entries,
+            anyhit=anyhit, deep_e=E, entries=entries, need_uv=need_uv,
         )
         dest_by_pair = jnp.zeros((m,), jnp.int32).at[order].set(dest)
         take = lambda x: x[dest_by_pair].reshape(nk, n)
@@ -323,6 +324,7 @@ def traverse(
     tmax: jnp.ndarray = None,
     raw: bool = False,
     routing: Routing = None,
+    need_uv: bool = True,
 ) -> Hit:
     """Closest hit for a batch of world-space rays.
 
@@ -344,6 +346,12 @@ def traverse(
     with the scene (each node is visited at most once per rope walk, so
     ``n_nodes + 1`` can never truncate a legitimate walk — a fixed 4096
     could silently drop hits on Sponza-scale trees, round-2 ADVICE).
+
+    ``need_uv=False``: the wide packet path skips producing ``u``/``v``/
+    ``front`` for triangle hits (they return zeros) — hot callers
+    re-derive them from the winning record's geometry inside the fat
+    shading-row gather (``wavefront._shade_fetch``), saving a second
+    per-lane gather per traversal.  Sphere facing bits are unaffected.
     """
     routing = routing if routing is not None else Routing.from_env()
     n = origin.shape[0]
@@ -401,7 +409,8 @@ def traverse(
             scene, mode, routing
         ):
             dst, prim, u, v, front = _two_phase_wide(
-                scene, origin, direction, tmax0, routing, interp
+                scene, origin, direction, tmax0, routing, interp,
+                need_uv=need_uv,
             )
             if not raw:
                 prim = jnp.where(
@@ -424,6 +433,7 @@ def traverse(
                 ),
                 multi_pop=routing.multi_pop,
                 mask_mode=routing.mask_mode,
+                need_uv=need_uv,
             )
             # kernel reports padded leaf-slot ids; map to global tri ids
             # (hot callers pass raw=True and use shade_slot rows instead)

@@ -403,12 +403,20 @@ class SceneBuilder:
         # Layout: 0-8 vn | 9-14 uv | 15 degen | 16-18 albedo |
         # 19-21 emission*strength | 22 reflectance | 23 ior |
         # 24 albedo_tex | 25 sampler | 26 material id | 27 instance id |
-        # 28 global tri id | 29 metalness_tex | 30 alpha_tex | 31 pad.
+        # 28 global tri id | 29 metalness_tex | 30 alpha_tex | 31 pad |
+        # 32-43 the triangle geometry record (v0, e1, e2, n_geo — the
+        # same values the kernel's leaf records hold), so the shading
+        # stage can RE-DERIVE u/v/facing for the winning record from this
+        # one gather and the packet kernel never has to produce them
+        # (dropping 3 masked VMEM read-modify-writes per leaf record from
+        # the traversal hot loop, and avoiding a second (N,16) gather —
+        # XLA gather cost is per OP, not per row width; the physical row
+        # is lane-padded to 128 either way) | 44-47 pad.
         # Ints are held as f32 VALUES (exact below 2^24).
         mat_albedo_arr = mf("albedo", (3,))
         mat_emis_arr = mf("emission_color", (3,)) * mf("emission_strength")[:, None]
         tmat = obj_mat[tri_obj] if n_tris else np.zeros(1, i32)
-        shade_tri = np.zeros((max(n_tris, 1), 32), f32)
+        shade_tri = np.zeros((max(n_tris, 1), 48), f32)
         shade_tri[:, 0:16] = tri_shade[:, 0:16] if n_tris else 0.0
         shade_tri[:, 16:19] = mat_albedo_arr[tmat]
         shade_tri[:, 19:22] = mat_emis_arr[tmat]
@@ -421,6 +429,8 @@ class SceneBuilder:
         shade_tri[:, 28] = np.arange(max(n_tris, 1), dtype=f32)
         shade_tri[:, 29] = mi("metalness_tex")[tmat].astype(f32)
         shade_tri[:, 30] = mi("alpha_tex")[tmat].astype(f32)
+        if n_tris:
+            shade_tri[:, 32:44] = tri_packed[:, 0:12]
 
         # BVH8 for the wide packet kernel (single-tree scenes only)
         if flattened:

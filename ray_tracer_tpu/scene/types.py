@@ -165,8 +165,8 @@ class CompiledScene:
     # Layout: 0-8 vn | 9-14 uv | 15 degen | 16-18 albedo |
     # 19-21 emission*strength | 22 reflectance | 23 ior | 24 albedo_tex |
     # 25 sampler | 26 material id | 27 instance id | 28 global tri id.
-    shade_tri: Any  # (T,32) f32, indexed by global tri id (gather walk)
-    shade_slot: Any  # (L*8,32) f32, indexed by padded leaf slot (packet)
+    shade_tri: Any  # (T,48) f32, indexed by global tri id (gather walk)
+    shade_slot: Any  # (L*8,48) f32, indexed by padded leaf slot (packet)
 
     # Instances.
     obj_transform: Any  # (O,4,4) f32

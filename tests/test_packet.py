@@ -121,6 +121,27 @@ def test_wide_packet_matches_walk(rand):
     np.testing.assert_array_equal(np.asarray(got.prim)[m], np.asarray(ref.prim)[m])
 
 
+@pytest.mark.parametrize("mm", ["sum4", "mxu"])
+def test_wide_packet_mask_modes_bit_identical(rand, mm):
+    """Every mask scheme computes the same EXACT descend mask, so the wide
+    walk must be bit-identical across them (same visits, same order)."""
+    scene = _random_mesh_scene(rand, n_tris=150)
+    n = 700
+    origin = jnp.asarray(rand.uniform(-4, 4, (n, 3)).astype(np.float32))
+    d = rand.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    base = traverse.traverse(
+        scene, origin, jnp.asarray(d), jnp.ones(n, bool),
+        routing=INTERP.replace(wide=True),
+    )
+    got = traverse.traverse(
+        scene, origin, jnp.asarray(d), jnp.ones(n, bool),
+        routing=INTERP.replace(wide=True, mask_mode=mm),
+    )
+    np.testing.assert_array_equal(np.asarray(base.dst), np.asarray(got.dst))
+    np.testing.assert_array_equal(np.asarray(base.prim), np.asarray(got.prim))
+
+
 def test_wide_packet_hbm_tris_matches(rand):
     """Leaf-row-DMA variant (triangles in HBM) == in-VMEM variant."""
     from ray_tracer_tpu.kernels import packet as pk

@@ -43,7 +43,8 @@ def main():
     ord_f = np.argsort(key_full(o_r, d_r), kind="stable")
     o_s, d_s = o_r[ord_f], d_r[ord_f]
 
-    for p in (1024, 2048, 4096, 8192):
+    # Mosaic pins ray blocks at (8,128) sublane granularity -> min 1024.
+    for p in (1024, 2048, 4096):
         @tpu_jit(static_argnames=("ps",))
         def run(w, l, o, d, ps):
             def one(carry, _):
