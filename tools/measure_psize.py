@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Packet-size sweep for incoherent (bounce-shaped) rays, sorted vs not."""
-import functools, json, os, time
+import functools, json, os, sys, time
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     import jax, jax.numpy as jnp
