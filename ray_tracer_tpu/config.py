@@ -70,6 +70,22 @@ class Routing:
     # TWO lane reductions are issued.  'rollor' (explicit roll+OR fold,
     # one sum) measured slower than sum4 — kept as a measurement harness.
     mask_mode: str = "sum2"
+    # MXU cluster pipeline (round 3): candidate-cluster enumeration over
+    # the tiny cluster-BVH8, (ray,cluster) pair grouping, and matmul-dense
+    # triangle tests (ops/cluster_trace.py).  'on' routes triangle
+    # traversal through it, 'off' never, 'auto' defers to the measured
+    # default (off until the sort/scatter glue is timed on hardware).
+    cluster: str = "auto"
+    # Per-lane cluster emit slots; lanes with more candidates fall back to
+    # the classic packet walk (overflow ~2% at 16 on the hardened proxy,
+    # tools/sim_cluster.py).
+    cluster_k: int = 16
+    # Packet size for the enumeration walk.  The enum tree is tiny (a few
+    # hundred wide nodes), so a packet's node union is capped by the tree
+    # itself and bigger packets amortize each visit over more lanes
+    # almost for free — unlike the fine-tree walk where 2048 is the
+    # measured knee.
+    cluster_enum_packet: int = 8192
 
     @staticmethod
     def from_env() -> "Routing":
@@ -90,6 +106,11 @@ class Routing:
             top_k=int(os.environ.get("RT_TOP_K", 5)),
             multi_pop=int(os.environ.get("RT_MULTI_POP", 1)),
             mask_mode=os.environ.get("RT_MASK_MODE", "sum2"),
+            cluster=os.environ.get("RT_CLUSTER", "auto"),
+            cluster_k=int(os.environ.get("RT_CLUSTER_K", 16)),
+            cluster_enum_packet=int(
+                os.environ.get("RT_CLUSTER_ENUM_PACKET", 8192)
+            ),
         )
 
     def replace(self, **kw) -> "Routing":

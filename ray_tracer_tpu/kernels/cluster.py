@@ -1,0 +1,150 @@
+"""MXU-dense ray x triangle-cluster intersection kernel (round 3).
+
+Pairs (ray, cluster) are grouped so each 128-pair chunk shares ONE
+cluster; the kernel contracts the cluster's transposed Moller-Trumbore
+coefficient page (accel/cluster.py) against the chunk's ray-feature
+block in a single matmul and reduces the accept-masked hit distances
+over the triangle axis with a register min-tree.  One chunk = up to
+128 rays x t_c triangles tested for the price of one (16,5*t_c)^T @
+(16,128) contraction — the work the packet kernel's leaf loop does at
+~49 ns per ray-triangle test rides the matrix unit at ~0.03-0.7 ns.
+
+Reference math: shaders/raytrace.comp:222-259 (the same quantities the
+packet kernel's ``_tri_t`` computes; see accel/cluster.py for the
+bilinear factorization).  Tie semantics: the strict-< min-tree keeps the
+LOWEST triangle index in the cluster, matching the sequential
+first-record-wins update order of the reference loop.
+
+Chunks whose cluster id is negative (run padding / dead tail) are
+skipped via a scalar branch around the whole body.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 99999999.0
+
+N_BLOCKS = 5  # T | B | U | V | FO blocks per page (accel/cluster.py)
+
+
+def _cluster_kernel(
+    cids_ref,  # scalar-prefetch (G,) i32 chunk cluster ids (-1 = dead)
+    mt_ref,  # (1,16,N_BLOCKS*t_c) f32 this chunk's coefficient page
+    f_ref,  # (1,16,128) f32 this chunk's ray features
+    t_ref,  # (1,128) f32 out: best accepted t per pair lane (BIG = none)
+    p_ref,  # (1,128) i32 out: winning in-cluster triangle index (-1)
+    *,
+    t_c: int,
+):
+    cid = cids_ref[pl.program_id(0)]
+
+    t_ref[...] = jnp.full_like(t_ref[...], BIG)
+    p_ref[...] = jnp.full_like(p_ref[...], -1)
+
+    @pl.when(cid >= 0)
+    def _():
+        page = mt_ref[...][0]  # (16, 5*t_c)
+        feats = f_ref[...][0]  # (16, 128)
+        out = jax.lax.dot_general(
+            page, feats, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (5*t_c, 128): [T | B | U | V | FO] blocks of (t_c, 128)
+        T_ = out[0 * t_c : 1 * t_c]
+        B = out[1 * t_c : 2 * t_c]
+        U = out[2 * t_c : 3 * t_c]
+        V = out[3 * t_c : 4 * t_c]
+        FO = out[4 * t_c : 5 * t_c]
+        rB = 1.0 / B
+        t = T_ * rB
+        u = U * rB
+        v = V * rB
+        w = 1.0 - u - v
+        front = B >= 1e-8  # d0 >= 1e-8, raytrace.comp:238
+        ok = (t >= 0) & (u >= 0) & (v >= 0) & (w >= 0)
+        ok = ok & ~((~front) & (FO > 0.5))
+        # zero-padded coefficient columns: B == 0 -> t = 0*inf = NaN, and
+        # every NaN comparison above is false -> inert
+        tt = jnp.where(ok, t, BIG)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (t_c, 128), 0)
+        rows = t_c
+        while rows > 1:
+            h = rows // 2
+            ta, tb = tt[:h], tt[h:rows]
+            ia, ib = ids[:h], ids[h:rows]
+            take_b = tb < ta  # strict: earliest (lowest) index wins ties
+            tt = jnp.minimum(ta, tb)
+            ids = jnp.where(take_b, ib, ia)
+            rows = h
+        t_ref[...] = tt
+        p_ref[...] = jnp.where(tt < BIG, ids, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("t_c", "interpret"))
+def cluster_pairs_test(
+    clus_mt: jnp.ndarray,  # (C, 16, 5*t_c) f32 coefficient pages
+    feats: jnp.ndarray,  # (G, 16, 128) f32 per-chunk ray features
+    chunk_cid: jnp.ndarray,  # (G,) i32 cluster id per chunk (-1 dead)
+    t_c: int = 128,
+    interpret: bool = False,
+):
+    """Test every chunk's 128 ray-feature lanes against its cluster.
+
+    Returns ``(t, prim_local)`` of shape (G, 128): best accepted hit
+    distance (BIG if none) and the winning triangle's index *within the
+    cluster* (-1 if none).  Feature layout per lane (accel/cluster.py):
+    rows 0-2 origin, 3-5 direction, 6-8 origin x direction, 9 constant 1,
+    10-15 zero (padding / caller scratch — the coefficient rows there are
+    zero, so the contraction ignores them).
+    """
+    g = feats.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 16, N_BLOCKS * t_c),
+                lambda i, cids: (jnp.maximum(cids[i], 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 16, 128), lambda i, cids: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 128), lambda i, cids: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i, cids: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    t, p = pl.pallas_call(
+        functools.partial(_cluster_kernel, t_c=t_c),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((g, 128), jnp.float32),
+            jax.ShapeDtypeStruct((g, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(chunk_cid.astype(jnp.int32), clus_mt, feats)
+    return t, p
+
+
+def ray_features(origin: jnp.ndarray, direction: jnp.ndarray):
+    """(N,3),(N,3) -> (N,16) f32 feature rows [o | d | o x d | 1 | 0...].
+
+    The same zero-direction epsilon as the traversal kernels keeps the
+    feature finite for axis-aligned rays (packet.py).
+    """
+    d = jnp.where(direction == 0.0, 1e-20, direction)
+    c = jnp.cross(origin, d)
+    n = origin.shape[0]
+    one = jnp.ones((n, 1), jnp.float32)
+    zero = jnp.zeros((n, 6), jnp.float32)
+    return jnp.concatenate([origin, d, c, one, zero], axis=1)

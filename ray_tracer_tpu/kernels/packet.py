@@ -318,6 +318,7 @@ def _packet8_kernel(
     deep_e: int = 0,
     multi_pop: int = 1,
     mask_mode: str = "sum4",
+    emit_leaves: bool = False,
 ):
     rest = list(rest)
     if top_k:
@@ -772,18 +773,32 @@ def _packet8_kernel(
                 # — extracting inside the push branch measured ~12% slower
                 codes = [row[0, 8 * c + 6].astype(jnp.int32) for c in range(8)]
             if top_k:
-                # Treelet-root children are EMITTED per lane, not pushed:
-                # lanes record the child code in their first free slot
-                # (deep-phase work list); slots full -> overflow flag (the
-                # lane re-traverses from the root in the fallback batch).
+                # Emit-not-descend children, recorded per lane into the
+                # lane's first free slot; slots full -> overflow flag (the
+                # lane falls back to a full root walk outside).  Two modes:
+                # * treelet roots (two-phase deep-entry lists): interior
+                #   children whose meta troot flag is set
+                # * cluster leaves (emit_leaves, MXU cluster pipeline):
+                #   leaf children — the emitted value is the leaf payload's
+                #   slot field, i.e. the cluster id
                 for c in range(8):
-                    flag = meta_ref[jnp.maximum(codes[c], 0) * 12 + 9]
-                    is_emit = (((mask >> c) & 1) == 1) & (flag == 1) & (
-                        codes[c] > 0
-                    )
+                    if emit_leaves:
+                        is_leaf_c = codes[c] < 0
+                        is_emit = (((mask >> c) & 1) == 1) & is_leaf_c
+                        emit_val = (-codes[c] - 1) // 16
+                        clear = jnp.where(is_leaf_c, jnp.int32(1), 0)
+                    else:
+                        flag = meta_ref[jnp.maximum(codes[c], 0) * 12 + 9]
+                        is_emit = (((mask >> c) & 1) == 1) & (flag == 1) & (
+                            codes[c] > 0
+                        )
+                        emit_val = codes[c]
+                        clear = jnp.where(
+                            (flag == 1) & (codes[c] > 0), jnp.int32(1), 0
+                        )
 
                     @pl.when(is_emit)
-                    def _(c=c, code_c=codes[c]):
+                    def _(c=c, code_c=emit_val):
                         h = hvecs[c]
                         cnt = cnt_ref[...]
                         for k in range(top_k):
@@ -795,12 +810,7 @@ def _packet8_kernel(
                         )
                         cnt_ref[...] = cnt + jnp.where(h, 1, 0)
 
-                    mask = mask & ~(
-                        jnp.where(
-                            (flag == 1) & (codes[c] > 0), jnp.int32(1), 0
-                        )
-                        << c
-                    )
+                    mask = mask & ~(clear << c)
             neg = jnp.where(
                 axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z)
             )
@@ -890,7 +900,7 @@ def _reconstruct_uvfront(leaf_rows, origin, direction, prim):
     static_argnames=(
         "interpret", "packet_size", "tris_in_hbm", "nodes_in_hbm",
         "max_recs", "anyhit", "with_visits", "top_k", "deep_e",
-        "multi_pop", "mask_mode", "need_uv",
+        "multi_pop", "mask_mode", "need_uv", "emit_leaves",
     ),
 )
 def packet_traverse_wide(
@@ -914,6 +924,7 @@ def packet_traverse_wide(
     multi_pop: int = 1,
     mask_mode: str = "sum2",
     need_uv: bool = True,
+    emit_leaves: bool = False,
 ):
     """BVH8 packet traversal; same contract as :func:`packet_traverse`,
     except ``prim`` returns *padded leaf-slot ids* (slot*8 + k) — map them
@@ -939,6 +950,10 @@ def packet_traverse_wide(
       ``(..., slots (N,top_k) i32 with -1 padding, overflow (N,) i32)``
       appended to the base tuple.  Requires the SMEM meta mirror (node
       table small enough), enforced by assertion.
+    * ``top_k>0`` + ``emit_leaves``: cluster enumeration — LEAF children
+      are never intersected; each lane emits the leaf payload's slot
+      field (its cluster id) instead.  Same output contract as the
+      treelet TOP phase; ``leaf_rows`` is never read.
     * ``deep_e>0`` + ``entries``: DEEP phase — packet ``g`` starts its walk
       from the (<=deep_e, -1-padded) entry list ``entries[g]`` instead of
       the root.
@@ -982,7 +997,7 @@ def packet_traverse_wide(
         codes_f = nodes[:, 6:70:8]  # (W,8) f32-held ints (NaN on empties)
         tr_col = (
             troot.astype(nodes.dtype)[:, None]
-            if top_k
+            if (top_k and not emit_leaves)
             else jnp.zeros((n_wide, 1), nodes.dtype)
         )
         meta2 = jnp.concatenate(
@@ -1023,6 +1038,7 @@ def packet_traverse_wide(
         deep_e=deep_e,
         multi_pop=multi_pop,
         mask_mode=mask_mode,
+        emit_leaves=emit_leaves,
     )
     # multi_pop visits push up to 8*multi_pop entries per iteration, so the
     # worst-case stack depth scales with it

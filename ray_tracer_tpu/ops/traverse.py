@@ -128,9 +128,17 @@ def prim_space(scene: CompiledScene, routing: Routing = None) -> str:
     """
     rt = routing if routing is not None else Routing.from_env()
     mode = _packet_mode(scene, rt)
+    if mode != "off" and _cluster_on(scene, mode, rt):
+        return "tri"  # cluster ranges are contiguous global-id ranges
     if mode != "off" and _use_wide(scene, mode, rt):
         return "slot"
     return "tri"
+
+
+def _cluster_on(scene: CompiledScene, mode: str, routing: Routing) -> bool:
+    from . import cluster_trace
+
+    return cluster_trace.use_cluster(scene, mode, routing)
 
 
 def _two_phase_wide(
@@ -405,7 +413,15 @@ def traverse(
         placement = mode.split(":")[1] if interp else mode
         tmax0 = jnp.where(active, best.dst, -BIG)
         psize = routing.packet_size or None
-        if _use_wide(scene, mode, routing) and _two_phase_ok(
+        if _cluster_on(scene, mode, routing):
+            from . import cluster_trace
+
+            dst, prim, u, v, front = cluster_trace.cluster_traverse(
+                scene, origin, direction, tmax0, routing, interp,
+                need_uv=need_uv,
+            )
+            # prim is already a GLOBAL triangle id (prim_space 'tri')
+        elif _use_wide(scene, mode, routing) and _two_phase_ok(
             scene, mode, routing
         ):
             dst, prim, u, v, front = _two_phase_wide(
@@ -545,7 +561,14 @@ def traverse_anyhit(
         interp = mode.startswith("interpret")
         placement = mode.split(":")[1] if interp else mode
         tmax0 = jnp.where(active, tmax, -BIG)
-        if _two_phase_ok(scene, mode, routing):
+        if _cluster_on(scene, mode, routing):
+            from . import cluster_trace
+
+            dst, _, _, _, _ = cluster_trace.cluster_traverse(
+                scene, origin, direction, tmax0, routing, interp,
+                anyhit=True, need_uv=False,
+            )
+        elif _two_phase_ok(scene, mode, routing):
             dst, _, _, _, _ = _two_phase_wide(
                 scene, origin, direction, tmax0, routing, interp,
                 anyhit=True,

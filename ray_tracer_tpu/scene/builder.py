@@ -184,6 +184,7 @@ class SceneBuilder:
         flatten_instances: bool = True,
         merge_wide_leaves: bool = None,
         spatial_splits: bool = None,
+        cluster_t_c: int = 128,
     ) -> CompiledScene:
         """Flatten to device arrays.
 
@@ -605,6 +606,19 @@ class SceneBuilder:
                     for c in child_codes[w]:
                         if c >= 0 and small[c]:
                             wide_troot[c] = 1
+            # ---- MXU cluster pipeline tables (accel/cluster.py):
+            # contiguous-range triangle clusters cut from the binary tree,
+            # their transposed MT coefficient pages, and the enumeration
+            # BVH8 over cluster AABBs.
+            from ..accel.cluster import build_cluster_tables
+
+            ct = build_cluster_tables(
+                forest, forest.roots[0], tri_packed, t_c=cluster_t_c
+            )
+            clus_mt = ct.clus_mt
+            clus_start = ct.clus_start
+            cwide_packed = ct.cwide_packed
+            n_clusters = int(clus_start.shape[0])
         else:
             wide_packed = np.full((1, 128), np.nan, f32)
             wide_packed[:, 6:64:8] = 0.0
@@ -613,6 +627,12 @@ class SceneBuilder:
             leaf_map = np.zeros(8, i32)
             wide_leaf_recs = 4 if max_leaf_tris <= 4 else 8
             wide_troot = np.zeros(1, i32)
+            clus_mt = np.zeros((1, 16, 5 * cluster_t_c), f32)
+            clus_start = np.zeros(1, i32)
+            cwide_packed = np.full((1, 128), np.nan, f32)
+            cwide_packed[:, 6:64:8] = 0.0
+            cwide_packed[:, 7] = 0.0
+            n_clusters = 0
 
         # Slot-space mirror of the fat shading rows: indexed directly by the
         # wide packet kernel's padded leaf-slot ids (slot*8 + k), removing
@@ -663,6 +683,9 @@ class SceneBuilder:
             leaf_rows=leaf_rows,
             leaf_map=leaf_map,
             wide_troot=wide_troot,
+            clus_mt=clus_mt,
+            clus_start=clus_start,
+            cwide_packed=cwide_packed,
             light_corner=li_corner,
             light_edge_u=li_u,
             light_edge_v=li_v,
@@ -691,6 +714,8 @@ class SceneBuilder:
                 "n_treelets": (
                     int(wide_troot.sum()) if flattened else 0
                 ),
+                "n_clusters": n_clusters,
+                "cluster_t_c": cluster_t_c,
                 "bvh_max_depth": forest.max_depth_seen,
                 "camera": (
                     tuple(self.camera.position),

@@ -203,6 +203,13 @@ class CompiledScene:
     # heads a subtree of <= meta['treelet_size'] wide nodes whose parent's
     # subtree is larger (0 on top-region nodes).
     wide_troot: Any  # (W,) i32
+    # MXU cluster pipeline (accel/cluster.py): transposed Moller-Trumbore
+    # coefficient pages per <=t_c-triangle cluster, the clusters' global
+    # triangle range starts, and the enumeration BVH8 over cluster AABBs
+    # (leaf codes carry cluster ids).  meta: n_clusters, cluster_t_c.
+    clus_mt: Any  # (C, 16, 5*t_c) f32
+    clus_start: Any  # (C,) i32
+    cwide_packed: Any  # (Wc, 128) f32
 
     # NEE lights.
     light_corner: Any  # (L,3) f32

@@ -1,0 +1,191 @@
+"""MXU cluster pipeline vs the gather-walk oracle (interpret mode).
+
+Covers accel/cluster.py (coefficient pages, cluster cut, enum BVH8),
+kernels/cluster.py (the matmul-dense chunk test) and
+ops/cluster_trace.py (enumerate / group / test / resolve + overflow
+fallback), all through the public traverse() routing.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import jax.numpy as jnp
+
+from ray_tracer_tpu.config import Routing
+from ray_tracer_tpu.ops import traverse
+from ray_tracer_tpu.scene.builder import SceneBuilder
+from ray_tracer_tpu.scene.types import Material
+
+OFF = Routing(packet="off")
+# tiny K forces real overflow traffic through the packet-walk fallback
+CLUSTER = Routing(packet="interpret", cluster="on")
+CLUSTER_K2 = Routing(packet="interpret", cluster="on", cluster_k=2)
+
+
+def _mesh_scene(rand, n_tris=160, t_c=16, front_only=False):
+    b = SceneBuilder()
+    b.add_material(Material())
+    tris = (
+        rand.uniform(-2, 2, (n_tris, 1, 3))
+        + rand.uniform(-0.5, 0.5, (n_tris, 3, 3))
+    ).astype(np.float32)
+    fd, path = tempfile.mkstemp(suffix=".obj")
+    with os.fdopen(fd, "w") as f:
+        for t in tris:
+            for v in t:
+                f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for i in range(n_tris):
+            f.write(f"f {3*i+1} {3*i+2} {3*i+3}\n")
+    b.add_obj(path, material=0, front_only=front_only)
+    os.unlink(path)
+    # small t_c => several clusters even on a small mesh
+    return b.compile(cluster_t_c=t_c).device_put()
+
+
+def _rays(rand, n):
+    origin = jnp.asarray(rand.uniform(-4, 4, (n, 3)).astype(np.float32))
+    d = rand.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return origin, jnp.asarray(d)
+
+
+def test_mt_page_quantities(rand):
+    """Coefficient-page contraction reproduces Moller-Trumbore exactly."""
+    from ray_tracer_tpu.accel.cluster import _mt_pages, N_BLOCKS
+
+    n_tri = 7
+    tri_packed = np.zeros((n_tri, 16), np.float32)
+    v0 = rand.uniform(-1, 1, (n_tri, 3)).astype(np.float32)
+    e1 = rand.uniform(-1, 1, (n_tri, 3)).astype(np.float32)
+    e2 = rand.uniform(-1, 1, (n_tri, 3)).astype(np.float32)
+    tri_packed[:, 0:3] = v0
+    tri_packed[:, 3:6] = e1
+    tri_packed[:, 6:9] = e2
+    tri_packed[:, 9:12] = np.cross(e1, e2)
+    tri_packed[:, 12] = (np.arange(n_tri) % 2).astype(np.float32)
+    t_c = 8
+    pages = _mt_pages(
+        tri_packed, np.array([0], np.int32), np.array([n_tri], np.int32), t_c
+    )
+    assert pages.shape == (1, 16, N_BLOCKS * t_c)
+
+    o = rand.uniform(-2, 2, (5, 3)).astype(np.float32)
+    d = rand.normal(size=(5, 3)).astype(np.float32)
+    f = np.concatenate(
+        [o, d, np.cross(o, d), np.ones((5, 1), np.float32),
+         np.zeros((5, 6), np.float32)], axis=1,
+    )
+    out = f @ pages[0]  # (5, 5*t_c)
+    n_geo = tri_packed[:, 9:12]
+    for ri in range(5):
+        for k in range(n_tri):
+            r = o[ri] - v0[k]
+            q = np.cross(r, d[ri])
+            d0 = -np.dot(d[ri], n_geo[k])
+            np.testing.assert_allclose(
+                out[ri, 0 * t_c + k], np.dot(r, n_geo[k]), rtol=2e-4,
+                atol=2e-4)
+            np.testing.assert_allclose(
+                out[ri, 1 * t_c + k], d0, rtol=2e-4, atol=2e-4)
+            np.testing.assert_allclose(
+                out[ri, 2 * t_c + k], np.dot(e2[k], q), rtol=2e-4, atol=2e-4)
+            np.testing.assert_allclose(
+                out[ri, 3 * t_c + k], -np.dot(e1[k], q), rtol=2e-4, atol=2e-4)
+            assert out[ri, 4 * t_c + k] == tri_packed[k, 12]
+    # padding columns are all zero
+    assert not out[:, n_tri:t_c].any()
+
+
+def test_cluster_cut_covers_range(rand):
+    scene = _mesh_scene(rand, n_tris=120, t_c=16)
+    assert scene.meta["n_clusters"] > 3
+    starts = np.asarray(scene.clus_start)
+    # contiguous, ordered, covering [0, n_tris)
+    assert starts[0] == 0
+    assert np.all(np.diff(starts) > 0)
+
+
+def _compare(scene, origin, direction, routing, check_prim=True):
+    n = origin.shape[0]
+    active = jnp.ones(n, bool)
+    ref = traverse.traverse(scene, origin, direction, active, routing=OFF)
+    got = traverse.traverse(scene, origin, direction, active,
+                            routing=routing)
+    np.testing.assert_array_equal(
+        np.asarray(ref.did_hit), np.asarray(got.did_hit)
+    )
+    m = np.asarray(ref.did_hit)
+    np.testing.assert_allclose(
+        np.asarray(got.dst)[m], np.asarray(ref.dst)[m], rtol=1e-4, atol=1e-5
+    )
+    if check_prim:
+        np.testing.assert_array_equal(
+            np.asarray(got.prim)[m], np.asarray(ref.prim)[m]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.front)[m], np.asarray(ref.front)[m]
+        )
+
+
+def test_cluster_matches_walk(rand):
+    scene = _mesh_scene(rand, n_tris=160, t_c=16)
+    o, d = _rays(rand, 500)  # non-multiple exercises padding
+    _compare(scene, o, d, CLUSTER)
+
+
+def test_cluster_overflow_fallback(rand):
+    """K=2 overflows many lanes; the packet-walk fallback must cover them."""
+    scene = _mesh_scene(rand, n_tris=160, t_c=16)
+    o, d = _rays(rand, 300)
+    _compare(scene, o, d, CLUSTER_K2)
+
+
+def test_cluster_front_only(rand):
+    scene = _mesh_scene(rand, n_tris=100, t_c=16, front_only=True)
+    o, d = _rays(rand, 300)
+    _compare(scene, o, d, CLUSTER)
+
+
+def test_cluster_anyhit_matches(rand):
+    scene = _mesh_scene(rand, n_tris=140, t_c=16)
+    o, d = _rays(rand, 400)
+    n = o.shape[0]
+    active = jnp.ones(n, bool)
+    tmax = jnp.full((n,), 3.0)
+    ref = traverse.traverse_anyhit(scene, o, d, active, tmax, routing=OFF)
+    got = traverse.traverse_anyhit(scene, o, d, active, tmax,
+                                   routing=CLUSTER)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_cluster_sliced_wavefront(rand, monkeypatch):
+    """n > SLICE routes through the lax.map slicing — same results."""
+    from ray_tracer_tpu.ops import cluster_trace
+
+    scene = _mesh_scene(rand, n_tris=120, t_c=16)
+    o, d = _rays(rand, 700)
+    monkeypatch.setattr(cluster_trace, "SLICE", 256)
+    _compare(scene, o, d, CLUSTER)
+
+
+def test_cluster_prim_space(rand):
+    scene = _mesh_scene(rand, n_tris=60, t_c=16)
+    assert traverse.prim_space(scene, CLUSTER) == "tri"
+    assert traverse.prim_space(scene, Routing(packet="interpret")) == "slot"
+
+
+def test_cluster_render_golden(rand):
+    """End-to-end render equivalence: cluster routing vs the oracle."""
+    from ray_tracer_tpu import api
+    from ray_tracer_tpu.config import RenderConfig
+    from ray_tracer_tpu.scene import presets
+
+    sc = presets.cornell_spheres().compile(cluster_t_c=16).device_put()
+    base = RenderConfig(width=24, height=24, samples_per_pixel=4,
+                        bounce_limit=3)
+    img_ref = api.render(sc, base.replace(routing=OFF))
+    img_cl = api.render(sc, base.replace(routing=CLUSTER))
+    np.testing.assert_allclose(
+        np.asarray(img_cl), np.asarray(img_ref), rtol=2e-4, atol=2e-4
+    )

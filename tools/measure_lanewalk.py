@@ -35,6 +35,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     import jax
+
+    if os.environ.get("LW_INTERPRET", "0") == "1":
+        # sitecustomize force-registers the axon plugin over JAX_PLATFORMS;
+        # CPU runs must override through jax.config (tests/conftest.py).
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -140,6 +145,48 @@ def main():
     pageT = jnp.asarray(page.T)  # (F,128)
 
     interp = os.environ.get("LW_INTERPRET", "0") == "1"
+
+    # correctness: both gather modes vs a numpy per-lane oracle
+    sub = 8
+    o_np = [rng.normal(size=(sub, 128)).astype(np.float32) * 2
+            for _ in range(3)]
+    d_np = [rng.normal(size=(sub, 128)).astype(np.float32) for _ in range(3)]
+    inv_np = [(1.0 / np.where(np.abs(x) < 1e-6, 1e-6, x)).astype(np.float32)
+              for x in d_np]
+
+    def oracle(steps):
+        idx = np.zeros((sub, 128), np.int32)
+        acc = np.zeros((sub, 128), np.float32)
+        for _ in range(steps):
+            g = [page[idx, f] for f in range(F)]
+            t1 = [(g[a] * inv_np[a] - o_np[a] * inv_np[a]) for a in range(3)]
+            t2 = [(g[3 + a] * inv_np[a] - o_np[a] * inv_np[a])
+                  for a in range(3)]
+            tmin = np.maximum(
+                np.maximum(np.minimum(t1[0], t2[0]), np.minimum(t1[1], t2[1])),
+                np.minimum(t1[2], t2[2]),
+            )
+            tmax = np.minimum(
+                np.minimum(np.maximum(t1[0], t2[0]), np.maximum(t1[1], t2[1])),
+                np.maximum(t1[2], t2[2]),
+            )
+            h = (tmax >= tmin) & (tmax > 0)
+            idx = np.where(h, g[6], g[7]).astype(np.int32)
+            acc = acc + tmin
+        return acc + idx.astype(np.float32)
+
+    o_j = [jnp.asarray(x) for x in o_np]
+    inv_j = [jnp.asarray(x) for x in inv_np]
+    ref4 = oracle(4)
+    for mode in ("mxu", "vpu"):
+        got = np.asarray(run(pageT, o_j, inv_j, 4, mode, sub,
+                             interpret=interp))
+        err = np.abs(got - ref4).max()
+        print(f"check {mode}: max|diff| vs numpy oracle = {err:.2e}")
+        assert err < 1e-3, (mode, err)
+    if interp:
+        return  # interpret mode: correctness only, timings meaningless
+
     for sub in (8, 16):
         o = [jnp.asarray(rng.normal(size=(sub, 128)).astype(np.float32) * 2)
              for _ in range(3)]
