@@ -144,12 +144,36 @@ def main() -> None:
     )
 
 
+def _device_probe(timeout_s: int = 240) -> bool:
+    """Backend init in a child process with a hard timeout.
+
+    A downed axon tunnel makes ``jax.devices()`` hang forever (observed
+    round 3), which would stall the driver — probe in a subprocess so a
+    hang becomes a clean zero-value record instead.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _run_with_retries() -> None:
     # The axon TPU tunnel sporadically fails compiles/executions; a fresh
     # attempt usually succeeds.  On persistent failure emit an honest
     # zero-value record instead of crashing the driver.
     last = None
     for attempt in range(3):
+        if not (os.environ.get("RT_BENCH_CPU") or _device_probe()):
+            last = RuntimeError("TPU backend init timed out (tunnel down)")
+            print(f"bench attempt {attempt + 1}: {last}", file=sys.stderr)
+            time.sleep(60)
+            continue
         try:
             main()
             return
