@@ -185,10 +185,9 @@ def _cluster_traverse_slice(
         ).reshape(-1),
         mode="drop",
     )
-    valid = pair_cid < SENT
-    key = pair_cid
-    order = jnp.argsort(key)
-    pe = key[order]
+    # one fused key/value sort; validity re-derives from the key, so no
+    # post-sort gathers are needed
+    pe, ray_sorted = jax.lax.sort_key_val(pair_cid, pair_ray)
     prev = jnp.concatenate([jnp.full((1,), -9, jnp.int32), pe[:-1]])
     newrun = pe != prev
     run_id = jnp.cumsum(newrun.astype(jnp.int32)) - 1
@@ -210,8 +209,8 @@ def _cluster_traverse_slice(
         return jnp.full((m2,), init, x.dtype).at[dest].set(x)
 
     pe_p = scat(pe, SENT)
-    ray_p = scat(pair_ray[order], 0)
-    live_p = scat(valid[order].astype(jnp.int32), 0) > 0
+    ray_p = scat(ray_sorted, 0)
+    live_p = pe_p < SENT
     chunk_cid = pe_p.reshape(g2, 128)[:, 0]
     chunk_cid = jnp.where(chunk_cid >= SENT, -1, chunk_cid)
 
