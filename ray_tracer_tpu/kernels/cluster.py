@@ -51,9 +51,14 @@ def _cluster_kernel(
     def _():
         page = mt_ref[...][0]  # (16, 5*t_c)
         feats = f_ref[...][0]  # (16, 128)
+        # HIGHEST: full-f32 contraction.  TPU matmuls at DEFAULT precision
+        # run single-pass bf16 (8 mantissa bits) — enough for the 0/1
+        # reductions in the packet kernel's mxu mask mode, catastrophic
+        # for hit distances on thin/large-coordinate geometry.
         out = jax.lax.dot_general(
             page, feats, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (5*t_c, 128): [T | B | U | V | FO] blocks of (t_c, 128)
         T_ = out[0 * t_c : 1 * t_c]
         B = out[1 * t_c : 2 * t_c]
