@@ -175,6 +175,41 @@ def test_cluster_prim_space(rand):
     assert traverse.prim_space(scene, Routing(packet="interpret")) == "slot"
 
 
+def test_cluster_alpha_cutout(rand, tmp_path):
+    """Alpha cutouts are shade-time pass-throughs; the cluster traversal
+    must compose (left half cut out -> emissive wall visible behind)."""
+    from ray_tracer_tpu import api
+    from ray_tracer_tpu.config import RenderConfig
+    from tests.test_material_maps import (
+        _write_quad_obj, _write_half_png, CFG,
+    )
+    from ray_tracer_tpu.scene.builder import SceneBuilder
+    from ray_tracer_tpu.scene.types import Camera, Environment
+
+    quad = str(tmp_path / "quad.obj")
+    wall = str(tmp_path / "wall.obj")
+    amap = str(tmp_path / "a.png")
+    _write_quad_obj(quad, z=0.0)
+    _write_quad_obj(wall, z=2.0, half=4.0)
+    _write_half_png(amap, 0, 255)
+    b = SceneBuilder()
+    tex = b.add_texture(amap)
+    dark = b.add_material(Material(albedo=(0.05, 0.05, 0.05),
+                                   alpha_tex=tex))
+    glow = b.add_material(
+        Material(emission_color=(1, 1, 1), emission_strength=3.0)
+    )
+    b.add_obj(quad, material=dark)
+    b.add_obj(wall, material=glow)
+    b.set_environment(Environment(enabled=False))
+    b.set_camera(Camera(position=(0, 0, -4), angles_deg=(0, 0, 0)))
+    sc = b.compile(cluster_t_c=16).device_put()
+    img_ref = np.asarray(api.render(sc, CFG.replace(routing=OFF)))
+    img_cl = np.asarray(api.render(sc, CFG.replace(routing=CLUSTER)))
+    np.testing.assert_allclose(img_cl, img_ref, rtol=2e-4, atol=2e-4)
+    assert img_cl[8:16, 3:11].mean() > 0.5  # cutout side sees the wall
+
+
 def test_cluster_render_golden(rand):
     """End-to-end render equivalence: cluster routing vs the oracle."""
     from ray_tracer_tpu import api
