@@ -168,11 +168,15 @@ def _run_with_retries() -> None:
     # attempt usually succeeds.  On persistent failure emit an honest
     # zero-value record instead of crashing the driver.
     last = None
+    probe_fails = 0
     for attempt in range(3):
-        if not (os.environ.get("RT_BENCH_CPU") or _device_probe()):
+        if not (os.environ.get("RT_BENCH_CPU") or _device_probe(180)):
             last = RuntimeError("TPU backend init timed out (tunnel down)")
             print(f"bench attempt {attempt + 1}: {last}", file=sys.stderr)
-            time.sleep(60)
+            probe_fails += 1
+            if probe_fails >= 2:  # a hung tunnel won't heal in seconds
+                break
+            time.sleep(30)
             continue
         try:
             main()
