@@ -41,7 +41,6 @@ NaN, and every accept comparison on NaN is false.
 
 from __future__ import annotations
 
-import sys
 from dataclasses import dataclass
 
 import numpy as np
@@ -97,22 +96,17 @@ def cluster_cut(forest: BVHForest, root: int, t_c: int):
         lo, hi = lo_new, hi_new
 
     starts, counts, nodes = [], [], []
-    limit = sys.getrecursionlimit()
-    sys.setrecursionlimit(max(limit, 200_000))
-    try:
-        stack = [int(root)]
-        while stack:
-            nd = stack.pop()
-            size = hi[nd] - lo[nd]
-            if size <= t_c or count[nd] > 0:
-                starts.append(int(lo[nd]))
-                counts.append(int(size))
-                nodes.append(nd)
-            else:
-                c = int(index[nd])
-                stack += [c + 1, c]
-    finally:
-        sys.setrecursionlimit(limit)
+    stack = [int(root)]
+    while stack:
+        nd = stack.pop()
+        size = hi[nd] - lo[nd]
+        if size <= t_c or count[nd] > 0:
+            starts.append(int(lo[nd]))
+            counts.append(int(size))
+            nodes.append(nd)
+        else:
+            c = int(index[nd])
+            stack += [c + 1, c]
     order = np.argsort(starts, kind="stable")
     return (
         np.asarray(starts, i32)[order],
@@ -121,37 +115,64 @@ def cluster_cut(forest: BVHForest, root: int, t_c: int):
     )
 
 
-def _mt_pages(tri_packed: np.ndarray, starts, counts, t_c: int):
+def _mt_pages(tri_packed: np.ndarray, starts, counts, t_c: int,
+              anchors: np.ndarray = None):
     """Transposed MT coefficient pages, one (16, 5*t_c) page per cluster.
 
     ``tri_packed`` rows: v0|e1|e2|n|front_only|obj|pad (scene/types.py).
+
+    ``anchors`` (C,3): per-cluster local origin (the cluster AABB
+    center).  Coefficients are built against v0' = v0 - anchor and the
+    kernel shifts ray origins by the same anchor, so the factorization's
+    cancellation terms (o'.n vs v0'.n, the triple products) stay at
+    cluster-local magnitudes — WITHOUT this, f32 rounding in t*d0 =
+    o.n - v0.n grows with |world position| and scenes translated a few
+    thousand units off the origin diverge from the packet-kernel oracle
+    (round-3 review finding, repro in tests).  The anchor rides in the
+    page itself at rows 10:13 of column 0 — those feature rows are zero
+    in the contraction, so the stash is inert to the matmul.
     """
+    if t_c & (t_c - 1) or t_c < 8:
+        raise ValueError(
+            f"cluster_t_c must be a power of two >= 8 (got {t_c}); the "
+            "chunk kernel's min-tree halves the triangle axis"
+        )
     C = starts.shape[0]
+    if int(counts.max(initial=0)) > t_c:
+        raise ValueError(
+            f"cluster holds {int(counts.max())} tris > t_c={t_c}"
+        )
     pages = np.zeros((C, 16, N_BLOCKS * t_c), f32)
-    v0 = tri_packed[:, 0:3].astype(np.float64)
-    e1 = tri_packed[:, 3:6].astype(np.float64)
-    e2 = tri_packed[:, 6:9].astype(np.float64)
-    nrm = tri_packed[:, 9:12].astype(np.float64)
-    fo = tri_packed[:, 12]
-    e2xv0 = np.cross(e2, v0)
-    e1xv0 = np.cross(e1, v0)
+    if anchors is None:
+        anchors = np.zeros((C, 3), np.float64)
+    v0_all = tri_packed[:, 0:3].astype(np.float64)
+    e1_all = tri_packed[:, 3:6].astype(np.float64)
+    e2_all = tri_packed[:, 6:9].astype(np.float64)
+    nrm_all = tri_packed[:, 9:12].astype(np.float64)
+    fo_all = tri_packed[:, 12]
     for ci in range(C):
         s, cnt = int(starts[ci]), int(counts[ci])
-        # T block: o rows = n; const row = -(v0.n)
-        pages[ci, 0:3, 0 * t_c : 0 * t_c + cnt] = nrm[s : s + cnt].T
+        v0 = v0_all[s : s + cnt] - anchors[ci]
+        e1 = e1_all[s : s + cnt]
+        e2 = e2_all[s : s + cnt]
+        nrm = nrm_all[s : s + cnt]
+        # T block: o' rows = n; const row = -(v0'.n)
+        pages[ci, 0:3, 0 * t_c : 0 * t_c + cnt] = nrm.T
         pages[ci, 9, 0 * t_c : 0 * t_c + cnt] = -np.einsum(
-            "ij,ij->i", v0[s : s + cnt], nrm[s : s + cnt]
+            "ij,ij->i", v0, nrm
         )
         # B block: d rows = -n
-        pages[ci, 3:6, 1 * t_c : 1 * t_c + cnt] = -nrm[s : s + cnt].T
-        # U block: d rows = -(e2 x v0); c rows = e2
-        pages[ci, 3:6, 2 * t_c : 2 * t_c + cnt] = -e2xv0[s : s + cnt].T
-        pages[ci, 6:9, 2 * t_c : 2 * t_c + cnt] = e2[s : s + cnt].T
-        # V block: d rows = (e1 x v0); c rows = -e1
-        pages[ci, 3:6, 3 * t_c : 3 * t_c + cnt] = e1xv0[s : s + cnt].T
-        pages[ci, 6:9, 3 * t_c : 3 * t_c + cnt] = -e1[s : s + cnt].T
+        pages[ci, 3:6, 1 * t_c : 1 * t_c + cnt] = -nrm.T
+        # U block: d rows = -(e2 x v0'); c' rows = e2
+        pages[ci, 3:6, 2 * t_c : 2 * t_c + cnt] = -np.cross(e2, v0).T
+        pages[ci, 6:9, 2 * t_c : 2 * t_c + cnt] = e2.T
+        # V block: d rows = (e1 x v0'); c' rows = -e1
+        pages[ci, 3:6, 3 * t_c : 3 * t_c + cnt] = np.cross(e1, v0).T
+        pages[ci, 6:9, 3 * t_c : 3 * t_c + cnt] = -e1.T
         # FO block: const row = front_only
-        pages[ci, 9, 4 * t_c : 4 * t_c + cnt] = fo[s : s + cnt]
+        pages[ci, 9, 4 * t_c : 4 * t_c + cnt] = fo_all[s : s + cnt]
+        # anchor stash (multiplies zero feature rows -> inert)
+        pages[ci, 10:13, 0] = anchors[ci]
     return pages
 
 
@@ -178,6 +199,17 @@ def build_cluster_tables(
     forest: BVHForest, root: int, tri_packed: np.ndarray, t_c: int = 128
 ) -> ClusterTables:
     starts, counts, nodes = cluster_cut(forest, root, t_c)
+    # cluster-local origins: AABB centers of the subtree roots.  Rounded
+    # to f32 FIRST — the kernel reads the anchor from the f32 page stash,
+    # so the coefficient build must subtract the exact same value or the
+    # residual (anchor_f64 - anchor_f32, ~|coord|*eps) re-enters as a
+    # consistent world shift between rays and triangles.
+    anchors = (
+        0.5 * (
+            forest.node_min[nodes].astype(np.float64)
+            + forest.node_max[nodes].astype(np.float64)
+        )
+    ).astype(np.float32).astype(np.float64)
     C = starts.shape[0]
 
     # Upper tree: cluster roots become leaves (index = cluster id, count
@@ -201,7 +233,7 @@ def build_cluster_tables(
     wide = collapse(upper, root)
 
     return ClusterTables(
-        clus_mt=_mt_pages(tri_packed, starts, counts, t_c),
+        clus_mt=_mt_pages(tri_packed, starts, counts, t_c, anchors),
         clus_start=starts,
         clus_count=counts,
         cwide_packed=_pack_cwide(wide),

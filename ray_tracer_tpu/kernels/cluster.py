@@ -50,7 +50,24 @@ def _cluster_kernel(
     @pl.when(cid >= 0)
     def _():
         page = mt_ref[...][0]  # (16, 5*t_c)
-        feats = f_ref[...][0]  # (16, 128)
+        fr = f_ref[...][0]  # (16, 128): rows 0-2 o, 3-5 d, 9 const 1
+        # Shift rays into cluster-local coordinates (the page's
+        # coefficients were built against v0 - anchor; the anchor rides
+        # in rows 10:13 of column 0, which multiply zero feature rows).
+        # Keeping the cancellation terms at cluster-local magnitudes is
+        # what makes the bilinear factorization translation-invariant.
+        anchor = page[10:13, 0:1]  # (3,1)
+        o_l = fr[0:3] - anchor
+        d = fr[3:6]
+        c_l = jnp.concatenate(
+            [
+                o_l[1:2] * d[2:3] - o_l[2:3] * d[1:2],
+                o_l[2:3] * d[0:1] - o_l[0:1] * d[2:3],
+                o_l[0:1] * d[1:2] - o_l[1:2] * d[0:1],
+            ],
+            axis=0,
+        )  # o' x d
+        feats = jnp.concatenate([o_l, d, c_l, fr[9:16]], axis=0)
         # HIGHEST: full-f32 contraction.  TPU matmuls at DEFAULT precision
         # run single-pass bf16 (8 mantissa bits) — enough for the 0/1
         # reductions in the packet kernel's mxu mask mode, catastrophic
@@ -142,14 +159,17 @@ def cluster_pairs_test(
 
 
 def ray_features(origin: jnp.ndarray, direction: jnp.ndarray):
-    """(N,3),(N,3) -> (N,16) f32 feature rows [o | d | o x d | 1 | 0...].
+    """(N,3),(N,3) -> (N,16) f32 feature rows [o | d | 0 | 1 | 0...].
 
-    The same zero-direction epsilon as the traversal kernels keeps the
-    feature finite for axis-aligned rays (packet.py).
+    The o x d term is computed IN-KERNEL from the cluster-local origin
+    (o - anchor), so only raw origin/direction travel here.  The same
+    zero-direction epsilon as the traversal kernels keeps the math
+    finite for axis-aligned rays (packet.py).
     """
     d = jnp.where(direction == 0.0, 1e-20, direction)
-    c = jnp.cross(origin, d)
     n = origin.shape[0]
     one = jnp.ones((n, 1), jnp.float32)
-    zero = jnp.zeros((n, 6), jnp.float32)
-    return jnp.concatenate([origin, d, c, one, zero], axis=1)
+    return jnp.concatenate(
+        [origin, d, jnp.zeros((n, 3), jnp.float32), one,
+         jnp.zeros((n, 6), jnp.float32)], axis=1,
+    )

@@ -96,8 +96,12 @@ def cluster_traverse(
     interp: bool,
     anyhit: bool = False,
     need_uv: bool = True,
+    fb_placement: str = "vmem",
 ):
     """(dst, prim_global, u, v, front); dst=-BIG occluded lanes (anyhit).
+
+    ``fb_placement``: the caller's resolved packet-kernel placement
+    ('vmem'|'hbm'|'hbm2') for the overflow fallback walk.
 
     Wavefronts beyond ``SLICE`` rays run as a compiled-once ``lax.map``
     over slices — the pair phase materializes (rays x K) feature rows,
@@ -116,7 +120,8 @@ def cluster_traverse(
         def body(args):
             o, d, tm = args
             return _cluster_traverse_slice(
-                scene, o, d, tm, routing, interp, anyhit, need_uv
+                scene, o, d, tm, routing, interp, anyhit, need_uv,
+                fb_placement,
             )
 
         outs = jax.lax.map(
@@ -125,7 +130,8 @@ def cluster_traverse(
         )
         return tuple(x.reshape((s * SLICE,) + x.shape[2:])[:n] for x in outs)
     return _cluster_traverse_slice(
-        scene, origin, direction, tmax0, routing, interp, anyhit, need_uv
+        scene, origin, direction, tmax0, routing, interp, anyhit, need_uv,
+        fb_placement,
     )
 
 
@@ -138,6 +144,7 @@ def _cluster_traverse_slice(
     interp: bool,
     anyhit: bool = False,
     need_uv: bool = True,
+    fb_placement: str = "vmem",
 ):
     n = origin.shape[0]
     K = routing.cluster_k
@@ -241,7 +248,7 @@ def _cluster_traverse_slice(
     # ---- overflow lanes: classic single-phase packet walk (their pairs
     # were excluded above, so this is the sole source of their result)
     tm_fb = jnp.where(ovf_b & lane_active, tmax0, -BIG)
-    mode = _fb_placement(scene, routing)
+    mode = fb_placement
     fb = packet.packet_traverse_wide(
         scene.wide_packed, scene.leaf_rows, origin, direction, tm_fb, 0,
         interpret=interp, packet_size=psize,
@@ -270,13 +277,3 @@ def _cluster_traverse_slice(
         zero = jnp.zeros_like(dst)
         u, v, front = zero, zero, jnp.zeros_like(prim >= 1)
     return dst, prim, u, v, front
-
-
-def _fb_placement(scene: CompiledScene, routing: Routing) -> str:
-    node_bytes = scene.wide_packed.shape[0] * 512
-    tri_bytes = scene.leaf_rows.shape[0] * 512
-    if node_bytes + tri_bytes <= routing.vmem_budget:
-        return "vmem"
-    if node_bytes <= routing.vmem_budget:
-        return "hbm"
-    return "hbm2"

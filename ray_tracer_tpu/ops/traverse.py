@@ -418,7 +418,7 @@ def traverse(
 
             dst, prim, u, v, front = cluster_trace.cluster_traverse(
                 scene, origin, direction, tmax0, routing, interp,
-                need_uv=need_uv,
+                need_uv=need_uv, fb_placement=placement,
             )
             # prim is already a GLOBAL triangle id (prim_space 'tri')
         elif _use_wide(scene, mode, routing) and _two_phase_ok(
@@ -555,7 +555,9 @@ def traverse_anyhit(
         return occ & active
 
     mode = _packet_mode(scene, routing)
-    if mode != "off" and _use_wide(scene, mode, routing):
+    if mode != "off" and (
+        _cluster_on(scene, mode, routing) or _use_wide(scene, mode, routing)
+    ):
         from ..kernels import packet
 
         interp = mode.startswith("interpret")
@@ -566,7 +568,7 @@ def traverse_anyhit(
 
             dst, _, _, _, _ = cluster_trace.cluster_traverse(
                 scene, origin, direction, tmax0, routing, interp,
-                anyhit=True, need_uv=False,
+                anyhit=True, need_uv=False, fb_placement=placement,
             )
         elif _two_phase_ok(scene, mode, routing):
             dst, _, _, _, _ = _two_phase_wide(

@@ -185,6 +185,7 @@ class SceneBuilder:
         merge_wide_leaves: bool = None,
         spatial_splits: bool = None,
         cluster_t_c: int = 128,
+        clusters: bool = None,
     ) -> CompiledScene:
         """Flatten to device arrays.
 
@@ -609,16 +610,28 @@ class SceneBuilder:
             # ---- MXU cluster pipeline tables (accel/cluster.py):
             # contiguous-range triangle clusters cut from the binary tree,
             # their transposed MT coefficient pages, and the enumeration
-            # BVH8 over cluster AABBs.
-            from ..accel.cluster import build_cluster_tables
+            # BVH8 over cluster AABBs.  Pages cost ~500 B/tri of HBM, so
+            # the auto default skips scenes past 2M tris (the hbm/hbm2
+            # packet placements serve those); ``clusters=True`` forces.
+            if clusters is None:
+                clusters = n_tris <= 2_000_000
+            if clusters:
+                from ..accel.cluster import build_cluster_tables
 
-            ct = build_cluster_tables(
-                forest, forest.roots[0], tri_packed, t_c=cluster_t_c
-            )
-            clus_mt = ct.clus_mt
-            clus_start = ct.clus_start
-            cwide_packed = ct.cwide_packed
-            n_clusters = int(clus_start.shape[0])
+                ct = build_cluster_tables(
+                    forest, forest.roots[0], tri_packed, t_c=cluster_t_c
+                )
+                clus_mt = ct.clus_mt
+                clus_start = ct.clus_start
+                cwide_packed = ct.cwide_packed
+                n_clusters = int(clus_start.shape[0])
+            else:
+                clus_mt = np.zeros((1, 16, 5 * cluster_t_c), f32)
+                clus_start = np.zeros(1, i32)
+                cwide_packed = np.full((1, 128), np.nan, f32)
+                cwide_packed[:, 6:64:8] = 0.0
+                cwide_packed[:, 7] = 0.0
+                n_clusters = 0
         else:
             wide_packed = np.full((1, 128), np.nan, f32)
             wide_packed[:, 6:64:8] = 0.0

@@ -67,7 +67,13 @@ def main():
     scene_name = sys.argv[1] if len(sys.argv) > 1 else "sponza_proxy"
     n_tris = int(sys.argv[2]) if len(sys.argv) > 2 else 260_000
     n_rays = 20_000
-    sc = presets.sponza_proxy(n_tris).compile()
+    if scene_name == "sponza_proxy":
+        sc = presets.sponza_proxy(n_tris).compile()
+    else:
+        sc = presets.mesh_scene(
+            scene_name, material=presets.WHITE, scale=0.15,
+            position=(0.0, 0.5, 0.0),
+        ).compile()
 
     bmin = np.asarray(sc.bvh_min)
     bmax = np.asarray(sc.bvh_max)
