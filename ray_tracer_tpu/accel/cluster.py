@@ -61,6 +61,20 @@ class ClusterTables:
     clus_count: np.ndarray  # (C,) i32
     cwide_packed: np.ndarray  # (Wc,128) f32 enum BVH8 (leaf code = cluster)
     t_c: int
+    # Box-matmul enumeration (two brute-force levels, no tree walk):
+    # containment makes the candidate set EXACTLY {cluster AABBs the ray
+    # enters within tmax} — ancestors add no information — and the slab
+    # quantities (bmin*inv - o*inv etc.) are bilinear in (box coords,
+    # ray features), so each level is one (16,6*128)^T @ (16,128)
+    # contraction per 128-ray chunk.  Level 1: <=128 'super' boxes
+    # (subtree groups of <=128 clusters).  Level 2: per-super pages of
+    # its cluster boxes.  Scenes beyond 128x128 clusters keep the
+    # packet-emit enum.
+    super_page: np.ndarray = None  # (16,6*128) f32 level-1 coefficients
+    super_cpage: np.ndarray = None  # (S,16,6*128) f32 per-super clusters
+    super_cstart: np.ndarray = None  # (S,) i32 first cluster id (ranges
+    # are contiguous: page column c of super s is cluster cstart[s]+c)
+    n_supers: int = 0
 
 
 def cluster_cut(forest: BVHForest, root: int, t_c: int):
@@ -195,6 +209,50 @@ def _pack_cwide(wide: WideBVH) -> np.ndarray:
     return packed
 
 
+def _box_page(bmin: np.ndarray, bmax: np.ndarray) -> np.ndarray:
+    """(B<=128,3)x2 -> (16, 6*128) slab-test coefficient page.
+
+    Blocks [t1x|t2x|t1y|t2y|t1z|t2z], one column per box: t1x_raw =
+    bmin_x * inv_x rides feature row 0 (inv d), etc.; the kernel
+    subtracts o*inv per block and folds min/max.  Padding columns carry
+    NaN -> every comparison false -> never a candidate."""
+    B = bmin.shape[0]
+    assert B <= 128, B
+    page = np.full((16, 6 * 128), np.nan, f32)
+    page[:, :] = 0.0
+    for blk in range(6):
+        page[:, blk * 128 + B : (blk + 1) * 128] = np.nan
+        ax = blk // 2
+        src = bmin if blk % 2 == 0 else bmax
+        row = np.zeros((16, B), f32)
+        row[ax, :] = src[:, ax]
+        page[:, blk * 128 : blk * 128 + B] = row
+    return page
+
+
+def build_super_tables(upper: BVHForest, root: int, cl_nodes: np.ndarray,
+                       t_s: int = 128):
+    """Two-level box-enumeration tables over the cluster set.
+
+    ``upper`` is the cluster tree (leaves = clusters, 'tri ranges' are
+    cluster-id ranges), so ``cluster_cut(upper, root, t_s)`` yields
+    contiguous CLUSTER ranges of <= t_s — the supers.  Returns
+    (super_page, super_cpage, super_cid, n_supers) or None when the
+    scene exceeds the 128x128 two-level capacity.
+    """
+    cs, cc, snodes = cluster_cut(upper, root, t_s)
+    S = cs.shape[0]
+    if S > 128:
+        return None
+    super_page = _box_page(upper.node_min[snodes], upper.node_max[snodes])
+    cpages = np.zeros((S, 16, 6 * 128), f32)
+    for si in range(S):
+        ids = np.arange(cs[si], cs[si] + cc[si], dtype=i32)
+        nd = cl_nodes[ids]
+        cpages[si] = _box_page(upper.node_min[nd], upper.node_max[nd])
+    return super_page, cpages, cs.astype(i32), S
+
+
 def build_cluster_tables(
     forest: BVHForest, root: int, tri_packed: np.ndarray, t_c: int = 128
 ) -> ClusterTables:
@@ -232,10 +290,23 @@ def build_cluster_tables(
         upper.tri_count[nd] = 1
     wide = collapse(upper, root)
 
+    sup = build_super_tables(upper, root, nodes)
+    if sup is None:
+        super_page = np.full((16, 6 * 128), np.nan, f32)
+        super_cpage = np.full((1, 16, 6 * 128), np.nan, f32)
+        super_cstart = np.zeros(1, i32)
+        n_supers = 0
+    else:
+        super_page, super_cpage, super_cstart, n_supers = sup
+
     return ClusterTables(
         clus_mt=_mt_pages(tri_packed, starts, counts, t_c, anchors),
         clus_start=starts,
         clus_count=counts,
         cwide_packed=_pack_cwide(wide),
         t_c=t_c,
+        super_page=super_page,
+        super_cpage=super_cpage,
+        super_cstart=super_cstart,
+        n_supers=n_supers,
     )

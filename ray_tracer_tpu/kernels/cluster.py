@@ -158,18 +158,147 @@ def cluster_pairs_test(
     return t, p
 
 
-def ray_features(origin: jnp.ndarray, direction: jnp.ndarray):
-    """(N,3),(N,3) -> (N,16) f32 feature rows [o | d | 0 | 1 | 0...].
+def _box_kernel(
+    pids_ref,  # scalar-prefetch (G,) i32 page id per chunk (-1 = dead)
+    page_ref,  # (1,16,6*128) f32 this chunk's box coefficient page
+    f_ref,  # (1,16,128) f32 ray features [o|d|0|1|...|tmax@13]
+    w_ref,  # (1,4,128) i32 out: per-lane 128-bit hit mask (4 words)
+):
+    pid = pids_ref[pl.program_id(0)]
+    w_ref[...] = jnp.zeros_like(w_ref[...])
+
+    @pl.when(pid >= 0)
+    def _():
+        page = page_ref[...][0]  # (16, 6*128)
+        fr = f_ref[...][0]  # (16,128)
+        o = fr[0:3]
+        d = fr[3:6]
+        iv = 1.0 / d  # ray_features pre-applied the zero-dir epsilon
+        oiv = o * iv
+        tmax_row = fr[13:14]
+        feats = jnp.concatenate(
+            [iv, jnp.zeros((13, 128), jnp.float32)], axis=0
+        )
+        raw = jax.lax.dot_general(
+            page, feats, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (6*128, 128): blocks t1x|t2x|t1y|t2y|t1z|t2z (128 boxes each)
+        t1x = raw[0 * 128 : 1 * 128] - oiv[0:1]
+        t2x = raw[1 * 128 : 2 * 128] - oiv[0:1]
+        t1y = raw[2 * 128 : 3 * 128] - oiv[1:2]
+        t2y = raw[3 * 128 : 4 * 128] - oiv[1:2]
+        t1z = raw[4 * 128 : 5 * 128] - oiv[2:3]
+        t2z = raw[5 * 128 : 6 * 128] - oiv[2:3]
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tmaxv = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        # NaN padding columns fail every comparison -> never candidates
+        hit = (tmaxv >= tmin) & (tmaxv > 0) & (tmin < tmax_row)
+        bits = jnp.where(hit, jnp.int32(1), 0)  # (128 boxes, 128 rays)
+        words = []
+        for w in range(4):
+            acc = jnp.zeros((1, 128), jnp.int32)
+            for b in range(32):
+                acc = acc | (bits[32 * w + b : 32 * w + b + 1] << b)
+            words.append(acc)
+        w_ref[...] = jnp.concatenate(words, axis=0)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def box_hits(
+    pages: jnp.ndarray,  # (P, 16, 6*128) f32 box coefficient pages
+    feats: jnp.ndarray,  # (G, 16, 128) f32 per-chunk ray features
+    chunk_pid: jnp.ndarray,  # (G,) i32 page id per chunk (-1 dead)
+    interpret: bool = False,
+):
+    """Brute-force slab test of each chunk's 128 rays against its page's
+    <=128 boxes in one MXU contraction; returns (G, 4, 128) i32 bit
+    words — bit b of word w set iff ray hits box 32*w+b within its tmax.
+
+    This replaces tree traversal for candidate ENUMERATION: box
+    containment makes {leaf boxes hit} exactly the candidate set, so no
+    walk order or stack is needed (accel/cluster.py build_super_tables).
+    """
+    g = feats.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 16, 6 * 128),
+                lambda i, pids: (jnp.maximum(pids[i], 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 16, 128), lambda i, pids: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, 128), lambda i, pids: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _box_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g, 4, 128), jnp.int32),
+        interpret=interpret,
+    )(chunk_pid.astype(jnp.int32), pages, feats)
+
+
+def extract_slots(words: jnp.ndarray, k: int):
+    """(m, W) i32 bit words -> (slots (m,k) i32 box indices (-1 pad),
+    ovf (m,) bool: more than k bits set).
+
+    Iterative lowest-set-bit removal; the bit index comes from the f32
+    exponent of the isolated bit (exact for powers of two; bit 31 via
+    uint32 round-trip)."""
+    m, W = words.shape
+    w = words
+    cols = jnp.arange(W, dtype=jnp.int32)[None, :]
+    slots = []
+    for _ in range(k):
+        has = w != 0
+        first = jnp.argmax(has, axis=1).astype(jnp.int32)  # (m,)
+        cur = jnp.take_along_axis(w, first[:, None], axis=1)[:, 0]
+        low = cur & (-cur)
+        low_safe = jnp.maximum(low.astype(jnp.uint32), jnp.uint32(1))
+        bit = jnp.rint(
+            jnp.log2(low_safe.astype(jnp.float32))
+        ).astype(jnp.int32)
+        any_ = has.any(axis=1)
+        slots.append(jnp.where(any_, first * 32 + bit, -1))
+        clear = jnp.where(cols == first[:, None], low[:, None], 0)
+        w = w & ~clear
+    ovf = (w != 0).any(axis=1)
+    return jnp.stack(slots, axis=1), ovf
+
+
+def ray_features(origin: jnp.ndarray, direction: jnp.ndarray,
+                 tmax: jnp.ndarray = None):
+    """(N,3),(N,3)[,(N,)] -> (N,16) f32 rows [o | d | 0 | 1 | 0 | tmax@13].
 
     The o x d term is computed IN-KERNEL from the cluster-local origin
-    (o - anchor), so only raw origin/direction travel here.  The same
-    zero-direction epsilon as the traversal kernels keeps the math
-    finite for axis-aligned rays (packet.py).
+    (o - anchor), so only raw origin/direction travel here.  Row 13
+    carries the per-ray clip distance for the box-enumeration kernel
+    (zero coefficients everywhere else keep it inert to the cluster-test
+    contraction).  The same zero-direction epsilon as the traversal
+    kernels keeps the math finite for axis-aligned rays (packet.py).
     """
     d = jnp.where(direction == 0.0, 1e-20, direction)
     n = origin.shape[0]
     one = jnp.ones((n, 1), jnp.float32)
+    tm = (jnp.zeros((n, 1), jnp.float32) if tmax is None
+          else tmax.reshape(n, 1))
+    z3 = jnp.zeros((n, 3), jnp.float32)
     return jnp.concatenate(
-        [origin, d, jnp.zeros((n, 3), jnp.float32), one,
-         jnp.zeros((n, 6), jnp.float32)], axis=1,
+        [origin, d, z3, one, z3, tm, jnp.zeros((n, 2), jnp.float32)],
+        axis=1,
     )

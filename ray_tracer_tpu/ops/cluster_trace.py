@@ -85,6 +85,131 @@ def _uvfront_global(tri_packed, origin, direction, prim):
 
 
 SLICE = 1 << 17  # rays per internal slice: bounds the (n*K)-pair arrays
+K_S = 8  # level-1 super emit slots (mean ~1.9 hit/ray, 0% ovf measured)
+
+
+def _compact_rows(slot_mat, row_ray, row_ok, cap):
+    """Compact a (R,K) slot matrix (-1 = empty) into flat pair arrays.
+
+    Returns (flat_val (cap,) with SENT padding, flat_ray (cap,),
+    row_ovf (R,) rows whose slots would spill past ``cap``).  Row order
+    is preserved; invalid entries scatter one-past-end and drop.
+    """
+    R, K = slot_mat.shape
+    ok = (slot_mat >= 0) & row_ok[:, None]
+    cnt = ok.sum(axis=1).astype(jnp.int32)
+    base = jnp.cumsum(cnt) - cnt
+    row_ovf = base + cnt > cap
+    ok = ok & ~row_ovf[:, None]
+    k_rank = jnp.cumsum(ok.astype(jnp.int32), axis=1) - 1
+    dest = jnp.where(ok, base[:, None] + k_rank, cap)
+    flat_val = jnp.full((cap,), SENT, jnp.int32).at[
+        dest.reshape(-1)
+    ].set(slot_mat.reshape(-1), mode="drop")
+    flat_ray = jnp.zeros((cap,), jnp.int32).at[dest.reshape(-1)].set(
+        jnp.broadcast_to(row_ray[:, None], (R, K)).reshape(-1),
+        mode="drop",
+    )
+    return flat_val, flat_ray, row_ovf
+
+
+def _group_pairs(pair_key, pair_ray, max_runs):
+    """Sort pairs by key (one fused key/value sort) and run-pad each
+    key's run to a 128 multiple so every 128-pair chunk shares one key.
+
+    Returns (key_p (m2,), ray_p (m2,), live_p (m2,), chunk_key (g2,)
+    with -1 for dead chunks, g2).
+    """
+    m = pair_key.shape[0]
+    pe, ray_sorted = jax.lax.sort_key_val(pair_key, pair_ray)
+    prev = jnp.concatenate([jnp.full((1,), -9, jnp.int32), pe[:-1]])
+    newrun = pe != prev
+    run_id = jnp.cumsum(newrun.astype(jnp.int32)) - 1
+    run_start = jnp.where(newrun, jnp.arange(m, dtype=jnp.int32), 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
+    pos_in_run = jnp.arange(m, dtype=jnp.int32) - run_start
+    rid = jnp.minimum(run_id, max_runs - 1)
+    lens = jnp.zeros((max_runs,), jnp.int32).at[rid].add(1)
+    padded = -(-lens // 128) * 128
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]]
+    )
+    dest = offs[rid] + pos_in_run
+    m2 = -(-(m + max_runs * 128) // 128) * 128
+    g2 = m2 // 128
+    key_p = jnp.full((m2,), SENT, jnp.int32).at[dest].set(pe)
+    ray_p = jnp.zeros((m2,), jnp.int32).at[dest].set(ray_sorted)
+    live_p = key_p < SENT
+    chunk_key = key_p.reshape(g2, 128)[:, 0]
+    chunk_key = jnp.where(chunk_key >= SENT, -1, chunk_key)
+    return key_p, ray_p, live_p, chunk_key, g2
+
+
+def _enum_boxes(scene, feats, routing, interp, lane_active):
+    """Two-level box-matmul candidate enumeration (no tree walk).
+
+    Box containment makes {cluster AABBs entered within tmax} EXACTLY
+    the candidate set — ancestors add no information — so enumeration is
+    brute force on the MXU: level 1 tests every ray against the <=128
+    super boxes in one contraction per 128-ray chunk; (ray, super) pairs
+    group by super and level 2 tests each pair against its super's
+    <=128 cluster boxes.  Cluster ids are contiguous per super
+    (accel/cluster.py build_super_tables), so page column c of super s
+    is cluster super_cstart[s] + c.
+
+    Returns (pair_cid, pair_ray, ovf_b) — the same contract the
+    packet-emit enumeration produces after compaction.
+    """
+    n = feats.shape[0]
+    S = int(scene.meta["n_supers"])
+    K = routing.cluster_k
+    ray_ids = jnp.arange(n, dtype=jnp.int32)
+
+    # level 1: all rays vs the single super page
+    g1 = -(-n // 128)
+    padn = g1 * 128 - n
+    f1 = jnp.pad(feats, ((0, padn), (0, 0)))  # pad rows: tmax 0 -> no hit
+    f1 = f1.reshape(g1, 128, 16).transpose(0, 2, 1)
+    w1 = kcluster.box_hits(
+        scene.super_page[None], f1, jnp.zeros((g1,), jnp.int32),
+        interpret=interp,
+    )
+    words1 = w1.transpose(0, 2, 1).reshape(-1, 4)[:n]
+    sslots, sovf = kcluster.extract_slots(words1, K_S)  # (n,K_S) super ids
+    ovf_b = sovf & lane_active
+
+    # (ray, super) pairs: mean ~1.9/ray on the hardened proxy
+    cap1 = -(-(n * 3) // 128) * 128
+    psid, pray, ovf1 = _compact_rows(
+        sslots, ray_ids, lane_active & ~ovf_b, cap1
+    )
+    ovf_b = ovf_b | ovf1
+
+    # level 2: pairs grouped by super, each chunk vs its cluster page
+    sp, rayp, livep, chunk_sid, g2 = _group_pairs(psid, pray, S + 2)
+    rays_safe = jnp.where(livep, rayp, 0)
+    f2 = jnp.where(livep[:, None], feats[rays_safe], 0.0)
+    f2 = f2.reshape(g2, 128, 16).transpose(0, 2, 1)
+    w2 = kcluster.box_hits(
+        scene.super_cpage, f2, chunk_sid, interpret=interp
+    )
+    words2 = w2.transpose(0, 2, 1).reshape(-1, 4)
+    cols, povf = kcluster.extract_slots(words2, K)  # (m2,K) page columns
+    cstart = scene.super_cstart[jnp.clip(sp, 0, max(S - 1, 0))]
+    cid_mat = jnp.where(cols >= 0, cstart[:, None] + cols, -1)
+    ovf_flag = jnp.zeros((n,), jnp.int32).at[rays_safe].max(
+        (povf & livep).astype(jnp.int32)
+    )
+    ovf_b = ovf_b | (ovf_flag > 0)
+
+    # final (ray, cluster) pair list, pair-major compaction
+    cap2 = -(-(n * max(K // 2, 2)) // 128) * 128
+    pair_ok = livep & ~ovf_b[rays_safe]
+    pair_cid, pair_ray, ovf3 = _compact_rows(cid_mat, rayp, pair_ok, cap2)
+    ovf3_flag = jnp.zeros((n,), jnp.int32).at[rays_safe].max(
+        (ovf3 & livep).astype(jnp.int32)
+    )
+    return pair_cid, pair_ray, ovf_b | (ovf3_flag > 0)
 
 
 def cluster_traverse(
@@ -151,78 +276,46 @@ def _cluster_traverse_slice(
     C = int(scene.meta["n_clusters"])
     t_c = int(scene.meta["cluster_t_c"])
     psize = routing.packet_size or None
+    lane_active = tmax0 > -BIG / 2
+    feats = kcluster.ray_features(origin, direction, tmax0)  # (n,16)
 
     # ---- 1. enumerate candidate clusters per ray
-    dummy_rows = jnp.full((1, 128), np.nan, jnp.float32)
-    out = packet.packet_traverse_wide(
-        scene.cwide_packed, dummy_rows, origin, direction, tmax0, 0,
-        interpret=interp, packet_size=routing.cluster_enum_packet,
-        max_recs=8, top_k=K, emit_leaves=True, need_uv=False,
-        mask_mode=routing.mask_mode,
+    use_boxes = (
+        routing.cluster_enum == "boxes"
+        and int(scene.meta.get("n_supers", 0)) > 0
     )
-    slots, ovf = out[5], out[6]  # (n,K) cluster ids (-1 pad), (n,) i32
-    ovf_b = ovf > 0
-    lane_active = tmax0 > -BIG / 2
+    if use_boxes:
+        pair_cid, pair_ray, ovf_b = _enum_boxes(
+            scene, feats, routing, interp, lane_active
+        )
+    else:
+        dummy_rows = jnp.full((1, 128), np.nan, jnp.float32)
+        out = packet.packet_traverse_wide(
+            scene.cwide_packed, dummy_rows, origin, direction, tmax0, 0,
+            interpret=interp, packet_size=routing.cluster_enum_packet,
+            max_recs=8, top_k=K, emit_leaves=True, need_uv=False,
+            mask_mode=routing.mask_mode,
+        )
+        slots, ovf = out[5], out[6]  # (n,K) cluster ids (-1 pad)
+        ovf_b = (ovf > 0) & lane_active
+        # Ray-major compaction: the (n,K) slot matrix is ~70% empty
+        # (mean ~4.4 candidates at K=16), so compacting to a
+        # population-mean cap before the sort halves every downstream
+        # array.  Rays whose pairs would spill past the cap join the
+        # overflow fallback — a whole-population property, not per-ray.
+        pair_cap = -(-(n * max(K // 2, 2)) // 128) * 128
+        pair_cid, pair_ray, ovf2 = _compact_rows(
+            slots, jnp.arange(n, dtype=jnp.int32),
+            ~ovf_b & lane_active, pair_cap,
+        )
+        ovf_b = ovf_b | ovf2
 
-    # ---- 2. group pairs by cluster (compact + sort + run padding)
-    # Ray-major compaction first: the (n,K) slot matrix is ~70% empty
-    # (mean ~4.4 candidates at K=16), so compacting to a population-mean
-    # cap before the sort halves every downstream array.  Rays whose
-    # pairs would spill past the cap join the overflow fallback — a
-    # whole-population property (mean candidates > PAIR_CAP/n), not a
-    # per-ray one, so on sized workloads it never triggers.
-    pair_cap = -(-(n * max(K // 2, 2)) // 128) * 128
-    slot_ok = (slots >= 0) & (~ovf_b & lane_active)[:, None]
-    cnt = slot_ok.sum(axis=1).astype(jnp.int32)
-    base = jnp.cumsum(cnt) - cnt
-    ovf2 = base + cnt > pair_cap
-    ovf_b = ovf_b | ovf2
-    valid2 = slot_ok & ~ovf2[:, None]
-    k_rank = jnp.cumsum(valid2.astype(jnp.int32), axis=1) - 1
-    dest0 = jnp.where(
-        valid2, base[:, None] + k_rank, pair_cap
-    )  # invalid -> one-past-end, dropped by mode="drop"
-    m = pair_cap
-    pair_cid = jnp.full((m,), SENT, jnp.int32).at[dest0.reshape(-1)].set(
-        slots.reshape(-1), mode="drop"
+    # ---- 2. group pairs by cluster (fused sort + 128-run padding)
+    pe_p, ray_p, live_p, chunk_cid, g2 = _group_pairs(
+        pair_cid, pair_ray, C + 2
     )
-    pair_ray = jnp.zeros((m,), jnp.int32).at[dest0.reshape(-1)].set(
-        jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[:, None], (n, K)
-        ).reshape(-1),
-        mode="drop",
-    )
-    # one fused key/value sort; validity re-derives from the key, so no
-    # post-sort gathers are needed
-    pe, ray_sorted = jax.lax.sort_key_val(pair_cid, pair_ray)
-    prev = jnp.concatenate([jnp.full((1,), -9, jnp.int32), pe[:-1]])
-    newrun = pe != prev
-    run_id = jnp.cumsum(newrun.astype(jnp.int32)) - 1
-    run_start = jnp.where(newrun, jnp.arange(m, dtype=jnp.int32), 0)
-    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
-    pos_in_run = jnp.arange(m, dtype=jnp.int32) - run_start
-    max_runs = C + 2
-    rid = jnp.minimum(run_id, max_runs - 1)
-    lens = jnp.zeros((max_runs,), jnp.int32).at[rid].add(1)
-    padded = -(-lens // 128) * 128
-    offs = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]]
-    )
-    dest = offs[rid] + pos_in_run
-    m2 = -(-(m + max_runs * 128) // 128) * 128
-    g2 = m2 // 128
-
-    def scat(x, init):
-        return jnp.full((m2,), init, x.dtype).at[dest].set(x)
-
-    pe_p = scat(pe, SENT)
-    ray_p = scat(ray_sorted, 0)
-    live_p = pe_p < SENT
-    chunk_cid = pe_p.reshape(g2, 128)[:, 0]
-    chunk_cid = jnp.where(chunk_cid >= SENT, -1, chunk_cid)
 
     # ---- 3. test chunks on the MXU, resolve per ray with scatter-min
-    feats = kcluster.ray_features(origin, direction)  # (n,16)
     fp = feats[ray_p]  # (m2,16); dead pairs gather ray 0 — masked below
     fchunks = fp.reshape(g2, 128, 16).transpose(0, 2, 1)
     t_chunk, p_chunk = kcluster.cluster_pairs_test(

@@ -625,6 +625,10 @@ class SceneBuilder:
                 clus_start = ct.clus_start
                 cwide_packed = ct.cwide_packed
                 n_clusters = int(clus_start.shape[0])
+                super_page = ct.super_page
+                super_cpage = ct.super_cpage
+                super_cstart = ct.super_cstart
+                n_supers = ct.n_supers
             else:
                 clus_mt = np.zeros((1, 16, 5 * cluster_t_c), f32)
                 clus_start = np.zeros(1, i32)
@@ -632,6 +636,10 @@ class SceneBuilder:
                 cwide_packed[:, 6:64:8] = 0.0
                 cwide_packed[:, 7] = 0.0
                 n_clusters = 0
+                super_page = np.full((16, 6 * 128), np.nan, f32)
+                super_cpage = np.full((1, 16, 6 * 128), np.nan, f32)
+                super_cstart = np.zeros(1, i32)
+                n_supers = 0
         else:
             wide_packed = np.full((1, 128), np.nan, f32)
             wide_packed[:, 6:64:8] = 0.0
@@ -646,6 +654,10 @@ class SceneBuilder:
             cwide_packed[:, 6:64:8] = 0.0
             cwide_packed[:, 7] = 0.0
             n_clusters = 0
+            super_page = np.full((16, 6 * 128), np.nan, f32)
+            super_cpage = np.full((1, 16, 6 * 128), np.nan, f32)
+            super_cstart = np.zeros(1, i32)
+            n_supers = 0
 
         # Slot-space mirror of the fat shading rows: indexed directly by the
         # wide packet kernel's padded leaf-slot ids (slot*8 + k), removing
@@ -699,6 +711,9 @@ class SceneBuilder:
             clus_mt=clus_mt,
             clus_start=clus_start,
             cwide_packed=cwide_packed,
+            super_page=super_page,
+            super_cpage=super_cpage,
+            super_cstart=super_cstart,
             light_corner=li_corner,
             light_edge_u=li_u,
             light_edge_v=li_v,
@@ -729,6 +744,7 @@ class SceneBuilder:
                 ),
                 "n_clusters": n_clusters,
                 "cluster_t_c": cluster_t_c,
+                "n_supers": n_supers,
                 "bvh_max_depth": forest.max_depth_seen,
                 "camera": (
                     tuple(self.camera.position),

@@ -210,6 +210,11 @@ class CompiledScene:
     clus_mt: Any  # (C, 16, 5*t_c) f32
     clus_start: Any  # (C,) i32
     cwide_packed: Any  # (Wc, 128) f32
+    # Box-matmul enumeration (two brute-force slab-matmul levels; see
+    # accel/cluster.py build_super_tables).  meta: n_supers.
+    super_page: Any  # (16, 6*128) f32
+    super_cpage: Any  # (S, 16, 6*128) f32
+    super_cstart: Any  # (S,) i32 first cluster id per super
 
     # NEE lights.
     light_corner: Any  # (L,3) f32

@@ -18,8 +18,12 @@ from ray_tracer_tpu.scene.builder import SceneBuilder
 from ray_tracer_tpu.scene.types import Material
 
 OFF = Routing(packet="off")
-# tiny K forces real overflow traffic through the packet-walk fallback
+# default enum = 'boxes' (two-level brute-force slab matmuls)
 CLUSTER = Routing(packet="interpret", cluster="on")
+# the packet-emit enumeration walk (also the >128-super fallback flavor)
+CLUSTER_PKT = Routing(packet="interpret", cluster="on",
+                      cluster_enum="packet")
+# tiny K forces real overflow traffic through the packet-walk fallback
 CLUSTER_K2 = Routing(packet="interpret", cluster="on", cluster_k=2)
 
 
@@ -132,6 +136,35 @@ def test_cluster_matches_walk(rand):
     scene = _mesh_scene(rand, n_tris=160, t_c=16)
     o, d = _rays(rand, 500)  # non-multiple exercises padding
     _compare(scene, o, d, CLUSTER)
+
+
+def test_cluster_matches_walk_packet_enum(rand):
+    scene = _mesh_scene(rand, n_tris=160, t_c=16)
+    o, d = _rays(rand, 500)
+    _compare(scene, o, d, CLUSTER_PKT)
+
+
+def test_extract_slots(rand):
+    from ray_tracer_tpu.kernels.cluster import extract_slots
+
+    m = 64
+    words = np.zeros((m, 4), np.int64)
+    expect = []
+    for i in range(m):
+        bits = sorted(rand.choice(128, size=rand.integers(0, 12),
+                                  replace=False))
+        for b in bits:
+            words[i, b // 32] |= 1 << (b % 32)
+        expect.append(bits)
+    words = jnp.asarray(words.astype(np.uint32).view(np.int32))
+    slots, ovf = extract_slots(words, 8)
+    slots = np.asarray(slots)
+    ovf = np.asarray(ovf)
+    for i in range(m):
+        want = expect[i][:8]
+        got = [s for s in slots[i] if s >= 0]
+        assert got == want, (i, got, want)
+        assert bool(ovf[i]) == (len(expect[i]) > 8)
 
 
 def test_cluster_overflow_fallback(rand):
