@@ -106,7 +106,7 @@ def main():
 
     rt = Routing.from_env()
 
-    # ---- 2. enum walk alone
+    # ---- 2a. packet-emit enum walk alone
     dummy = jnp.full((1, 128), np.nan, jnp.float32)
     K = rt.cluster_k
 
@@ -120,9 +120,28 @@ def main():
     out = enum()
     slots, ovf = np.asarray(out[5]), np.asarray(out[6])
     cnt = (slots >= 0).sum(1)
-    print(f"enum: {te*1e3:.2f} ms ({n/te/1e6:.1f} Mrays/s)  "
+    print(f"enum/packet: {te*1e3:.2f} ms ({n/te/1e6:.1f} Mrays/s)  "
           f"cand mean {cnt.mean():.2f} p95 {np.percentile(cnt,95):.0f} "
           f"ovf {(ovf>0).mean()*100:.2f}%")
+
+    # ---- 2b. box-matmul enum alone (both levels + extraction + glue)
+    if sc.meta.get("n_supers", 0):
+        import functools as _ft
+
+        lane_active = jnp.ones((n,), bool)
+
+        @jax.jit
+        def enum_boxes():
+            feats = kcluster.ray_features(o2b, d2b, tm)
+            return cluster_trace._enum_boxes(
+                sc, feats, rt, False, lane_active
+            )
+        tb = bench(enum_boxes)
+        pc, pr, ob = enum_boxes()
+        live = int(np.asarray(pc < 2**30).sum())
+        print(f"enum/boxes:  {tb*1e3:.2f} ms ({n/tb/1e6:.1f} Mrays/s)  "
+              f"pairs {live} ({live/n:.2f}/ray)  "
+              f"ovf {np.asarray(ob).mean()*100:.2f}%")
 
     # ---- 3. chunk kernel alone (full occupancy, synthetic grouping)
     g = 4096
