@@ -167,6 +167,15 @@ def test_extract_slots(rand):
         assert bool(ovf[i]) == (len(expect[i]) > 8)
 
 
+def test_cluster_multi_super(rand):
+    """Enough geometry for several supers: exercises level-2 grouping
+    (pairs sorted by super, per-super cluster pages) end to end."""
+    scene = _mesh_scene(rand, n_tris=2400, t_c=16)
+    assert scene.meta["n_supers"] >= 2, scene.meta["n_supers"]
+    o, d = _rays(rand, 700)
+    _compare(scene, o, d, CLUSTER)
+
+
 def test_cluster_overflow_fallback(rand):
     """K=2 overflows many lanes; the packet-walk fallback must cover them."""
     scene = _mesh_scene(rand, n_tris=160, t_c=16)
