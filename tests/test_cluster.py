@@ -269,6 +269,40 @@ def test_cluster_front_only(rand):
     _compare(scene, o, d, CLUSTER)
 
 
+def test_cluster_sbvh_scene(rand):
+    """SBVH scene (spatial splits duplicate refs with clipped boxes):
+    cluster candidates come from CLIPPED node boxes, so completeness
+    holds through the duplicate set — hits must match the oracle, and
+    prim may differ only by picking another duplicate of the SAME
+    geometry."""
+    from ray_tracer_tpu.scene import presets
+
+    scene = presets.sponza_proxy(8000).compile().device_put()
+    o, d = _rays(rand, 768)
+    # aim rays into the scene from the camera region
+    o = jnp.asarray(np.asarray(o) * 0.1 + np.array([0, -0.5, -3.0],
+                                                   np.float32))
+    active = jnp.ones(768, bool)
+    ref = traverse.traverse(scene, o, d, active, routing=OFF)
+    got = traverse.traverse(scene, o, d, active, routing=CLUSTER)
+    np.testing.assert_array_equal(
+        np.asarray(ref.did_hit), np.asarray(got.did_hit)
+    )
+    m = np.asarray(ref.did_hit)
+    np.testing.assert_allclose(
+        np.asarray(got.dst)[m], np.asarray(ref.dst)[m], rtol=2e-4,
+        atol=1e-5,
+    )
+    pr = np.asarray(ref.prim)[m]
+    pg = np.asarray(got.prim)[m]
+    mm = pr != pg
+    tp = np.asarray(scene.tri_packed)
+    same_geo = np.all(
+        np.isclose(tp[pr[mm]][:, :12], tp[pg[mm]][:, :12]), axis=1
+    )
+    assert same_geo.all(), "prim diff beyond SBVH duplicates"
+
+
 def test_cluster_anyhit_matches(rand):
     scene = _mesh_scene(rand, n_tris=140, t_c=16)
     o, d = _rays(rand, 400)
