@@ -106,14 +106,14 @@ def main() -> None:
 
     def frame_with_stats(frame):
         checksum = 0.0
-        nrays = 0.0
+        nrays = np.zeros(2)  # [semantic, traced] (see wavefront.trace)
         for t in range(n_tiles):
             c, nr = tile_with_stats(
                 scene, rot, pos, fov, aspect, near, frame, jnp.int32(t),
                 cfg=cfg, n_spp=spp,
             )
             checksum += float(c)
-            nrays += float(nr)
+            nrays += np.asarray(nr)
         return checksum, nrays
 
     # Warmup / compile.
@@ -123,13 +123,19 @@ def main() -> None:
     checksum, total_rays = frame_with_stats(jnp.int32(1))
     dt = time.perf_counter() - t0
 
-    mrays = total_rays / dt / 1e6
+    rays_sem, rays_traced = float(total_rays[0]), float(total_rays[1])
+    # Headline denominator = SEMANTIC rays (every ray the reference would
+    # traverse): keeps round-over-round Mrays/s apples-to-apples since
+    # rounds 1-2 traced the full set.  rays_traced is reported alongside
+    # so the analytic facing-away-NEE resolve can't silently inflate
+    # throughput (round-3 advisor).
+    mrays = rays_sem / dt / 1e6
     # diagnostics (stderr; the driver parses only the stdout JSON line):
     # wall seconds for the measured frame and the traversal count, so
     # ray-count-changing optimizations can be A/B'd on frame time.
     print(
-        json.dumps({"frame_s": round(dt, 3), "rays": total_rays,
-                    "checksum": checksum}),
+        json.dumps({"frame_s": round(dt, 3), "rays_sem": rays_sem,
+                    "rays_traced": rays_traced, "checksum": checksum}),
         file=sys.stderr,
     )
     record = {
@@ -137,6 +143,9 @@ def main() -> None:
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 200.0, 4),
+        "rays_sem": rays_sem,
+        "rays_traced": rays_traced,
+        "mrays_traced": round(rays_traced / dt / 1e6, 2),
     }
     _save_last_known_good(record)
     print(json.dumps(record))

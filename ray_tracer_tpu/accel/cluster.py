@@ -54,6 +54,14 @@ i32 = np.int32
 N_BLOCKS = 5  # T | B | U | V | FO
 
 
+class ClusterCapacityError(ValueError):
+    """Scene geometry exceeds what the cluster pipeline can represent
+    (e.g. a depth-capped SAH/SBVH leaf holding more than t_c refs).
+    SceneBuilder.compile() degrades to clusters=False on this — the
+    packet kernel serves such scenes — unless clusters were explicitly
+    forced (round-3 advisor)."""
+
+
 @dataclass
 class ClusterTables:
     clus_mt: np.ndarray  # (C, 16, N_BLOCKS*t_c) f32 coefficient pages
@@ -108,6 +116,16 @@ def cluster_cut(forest: BVHForest, root: int, t_c: int):
         if np.array_equal(lo_new, lo) and np.array_equal(hi_new, hi):
             break
         lo, hi = lo_new, hi_new
+    else:
+        # Fixpoint not reached: a builder under-reporting max_depth_seen
+        # would otherwise yield silently-wrong cluster triangle ranges
+        # (corrupted geometry).  Fail loudly instead (round-3 advisor).
+        raise RuntimeError(
+            "cluster_cut: subtree-range relaxation did not converge in "
+            f"max_depth_seen+2 = {int(forest.max_depth_seen) + 2} sweeps; "
+            "the forest's max_depth_seen stat is inconsistent with its "
+            "topology"
+        )
 
     starts, counts, nodes = [], [], []
     stack = [int(root)]
@@ -153,7 +171,7 @@ def _mt_pages(tri_packed: np.ndarray, starts, counts, t_c: int,
         )
     C = starts.shape[0]
     if int(counts.max(initial=0)) > t_c:
-        raise ValueError(
+        raise ClusterCapacityError(
             f"cluster holds {int(counts.max())} tris > t_c={t_c}"
         )
     pages = np.zeros((C, 16, N_BLOCKS * t_c), f32)

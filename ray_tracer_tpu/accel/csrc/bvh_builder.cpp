@@ -356,7 +356,9 @@ struct SBuilder {
   std::vector<int32_t> index, count;
   std::vector<int8_t> axis;
   std::vector<int64_t> out_perm;  // leaf refs, in leaf-range order
-  std::vector<float> out_refmin, out_refmax;  // per out ref, clipped box
+  // NOTE: per-ref clipped boxes are NOT retained — no caller consumes
+  // them (rt_build_sbvh exports nodes + out_perm only), and keeping them
+  // cost O(refs) work+memory in the hot builder (round-3 advisor).
   int stats_max_leaf = 1;
   int stats_max_depth = 0;
   double root_area = 1.0;
@@ -491,11 +493,7 @@ struct SBuilder {
     index[node] = (int32_t)out_perm.size();
     count[node] = (int32_t)refs.size();
     stats_max_leaf = std::max<int>(stats_max_leaf, (int)refs.size());
-    for (const Ref &r : refs) {
-      out_perm.push_back(r.id);
-      out_refmin.insert(out_refmin.end(), {r.b.lo.x, r.b.lo.y, r.b.lo.z});
-      out_refmax.insert(out_refmax.end(), {r.b.hi.x, r.b.hi.y, r.b.hi.z});
-    }
+    for (const Ref &r : refs) out_perm.push_back(r.id);
   }
 
   int build(std::vector<Ref> &&root_refs) {

@@ -364,7 +364,7 @@ def trace(
         direct=f3(0.0),
         alive=jnp.ones((n,), bool),
         bad=jnp.zeros((n,), bool),
-        n_rays=jnp.zeros((), jnp.float32) + n,
+        n_rays=jnp.zeros((2,), jnp.float32) + n,
         box=box0,
         tri=tri0,
     )
@@ -645,8 +645,18 @@ def trace(
             new_direct = jnp.full((n, 3), -1.0)
         direct = jnp.where((did & ~bad)[:, None], new_direct, carry.direct)
 
-        n_rays = carry.n_rays + jnp.sum(alive.astype(jnp.float32)) + jnp.sum(
-            nee_sem.astype(jnp.float32)
+        # Ray accounting rides a (2,) vector: [0] = SEMANTIC rays (every
+        # ray the reference would traverse, raytrace.comp:443 — the
+        # round-over-round-comparable Mrays/s denominator), [1] = rays
+        # actually TRAVERSED (facing-away NEE lanes are resolved
+        # analytically and never launched; round-3 advisor asked for both
+        # counts so the analytic resolve can't inflate throughput).
+        n_alive = jnp.sum(alive.astype(jnp.float32))
+        n_rays = carry.n_rays + jnp.stack(
+            [
+                n_alive + jnp.sum(nee_sem.astype(jnp.float32)),
+                n_alive + jnp.sum(nee_active.astype(jnp.float32)),
+            ]
         )
 
         out = Carry(
@@ -823,7 +833,7 @@ def trace_wave(
         acc=f3(0.0),
         pix=pix0,
         slot=jnp.arange(n, dtype=jnp.int32),
-        n_rays=jnp.zeros((), jnp.float32) + n,
+        n_rays=jnp.zeros((2,), jnp.float32) + n,
     )
 
     def cond(w: Wave):
@@ -937,11 +947,14 @@ def trace_wave(
         # packed state.
         nee_sem = continuing & is_diff
         nee_active = nee_sem & (dot(normal, l_dir) > 0.0)
-        n_nee_sem = (
-            jnp.sum(nee_sem.astype(jnp.float32))
-            if not (cfg.nee_anyhit and scene.n_lights == 0)
-            else jnp.float32(0.0)
-        )
+        # semantic vs traced NEE counts (see trace()'s n_rays comment);
+        # both are taken pre-binning — sums are permutation-invariant.
+        if not (cfg.nee_anyhit and scene.n_lights == 0):
+            n_nee_sem = jnp.sum(nee_sem.astype(jnp.float32))
+            n_nee_act = jnp.sum(nee_active.astype(jnp.float32))
+        else:
+            n_nee_sem = jnp.float32(0.0)
+            n_nee_act = jnp.float32(0.0)
 
         # ---- sample completion + regeneration
         path_ends = w.alive & ~continuing
@@ -1077,10 +1090,9 @@ def trace_wave(
         new_direct = jnp.where(is_diff[:, None], direct_diff, -1.0)
         direct = jnp.where(fresh_direct[:, None], new_direct, direct_base)
 
-        n_rays = (
-            w.n_rays
-            + jnp.sum(alive.astype(jnp.float32))
-            + n_nee_sem
+        n_alive = jnp.sum(alive.astype(jnp.float32))
+        n_rays = w.n_rays + jnp.stack(
+            [n_alive + n_nee_sem, n_alive + n_nee_act]
         )
         return Wave(
             origin=new_origin,

@@ -613,14 +613,32 @@ class SceneBuilder:
             # BVH8 over cluster AABBs.  Pages cost ~500 B/tri of HBM, so
             # the auto default skips scenes past 2M tris (the hbm/hbm2
             # packet placements serve those); ``clusters=True`` forces.
+            forced = clusters is True
             if clusters is None:
                 clusters = n_tris <= 2_000_000
             if clusters:
-                from ..accel.cluster import build_cluster_tables
-
-                ct = build_cluster_tables(
-                    forest, forest.roots[0], tri_packed, t_c=cluster_t_c
+                from ..accel.cluster import (
+                    ClusterCapacityError,
+                    build_cluster_tables,
                 )
+
+                try:
+                    ct = build_cluster_tables(
+                        forest, forest.roots[0], tri_packed, t_c=cluster_t_c
+                    )
+                except ClusterCapacityError:
+                    # A depth-capped SAH/SBVH leaf on pathological geometry
+                    # can hold > t_c refs; the cluster pipeline cannot
+                    # represent it.  When clusters weren't explicitly
+                    # requested, degrade to clusters=False (the packet
+                    # kernel serves the scene) instead of failing the whole
+                    # compile (round-3 advisor).
+                    if forced:
+                        raise
+                    ct = None
+            else:
+                ct = None
+            if ct is not None:
                 clus_mt = ct.clus_mt
                 clus_start = ct.clus_start
                 cwide_packed = ct.cwide_packed

@@ -263,6 +263,58 @@ def test_cluster_t_c_validation(rand):
         b.compile(cluster_t_c=24)
 
 
+def test_cluster_capacity_degrades_to_off(rand, monkeypatch):
+    """A ClusterCapacityError (depth-capped leaf > t_c refs on
+    pathological geometry) must NOT fail the whole compile when clusters
+    weren't explicitly requested — the packet kernel serves the scene —
+    but a forced clusters=True still surfaces it (round-3 advisor)."""
+    import pytest
+
+    from ray_tracer_tpu.accel import cluster as cluster_mod
+
+    def boom(*a, **k):
+        raise cluster_mod.ClusterCapacityError("synthetic oversized leaf")
+
+    monkeypatch.setattr(cluster_mod, "build_cluster_tables", boom)
+
+    def make_builder():
+        b = SceneBuilder()
+        b.add_material(Material())
+        fd, path = tempfile.mkstemp(suffix=".obj")
+        with os.fdopen(fd, "w") as f:
+            f.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+        b.add_obj(path, material=0)
+        os.unlink(path)
+        return b
+
+    sc = make_builder().compile()  # auto: degrade
+    assert int(sc.meta.get("n_clusters", 0)) == 0
+    with pytest.raises(cluster_mod.ClusterCapacityError):
+        make_builder().compile(clusters=True)  # forced: surface
+
+
+def test_cluster_cut_convergence_check(rand):
+    """cluster_cut fails loudly (not silently-wrong ranges) if the
+    forest's max_depth_seen under-reports the real depth (round-3
+    advisor)."""
+    import dataclasses
+
+    import pytest
+
+    from ray_tracer_tpu.accel.bvh import build_forest
+    from ray_tracer_tpu.accel.cluster import cluster_cut
+
+    tris = (
+        rand.uniform(-2, 2, (160, 1, 3))
+        + rand.uniform(-0.5, 0.5, (160, 3, 3))
+    ).astype(np.float32)
+    forest, _perm = build_forest(tris.reshape(160, 9), [(0, 160)])
+    assert forest.max_depth_seen > 3  # the lie below must matter
+    lying = dataclasses.replace(forest, max_depth_seen=0)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster_cut(lying, lying.roots[0], 16)
+
+
 def test_cluster_front_only(rand):
     scene = _mesh_scene(rand, n_tris=100, t_c=16, front_only=True)
     o, d = _rays(rand, 300)

@@ -59,7 +59,7 @@ def main():
 
             acc, _ = jax.lax.scan(
                 one,
-                (jnp.float32(0), jnp.float32(0)),
+                (jnp.float32(0), jnp.zeros((2,), jnp.float32)),
                 jnp.arange(reps, dtype=jnp.int32),
             )
             return acc
@@ -71,7 +71,7 @@ def main():
         _ = np.asarray(out[0])
         t0 = time.perf_counter()
         out = fn(scene, rot, pos, fov, aspect, near, ids, cfg=cfg)
-        nr = float(np.asarray(out[1]))
+        nr = float(np.asarray(out[1])[0])  # semantic count (see wavefront)
         dt = time.perf_counter() - t0
         return nr / dt / 1e6, nr / reps
 

@@ -70,7 +70,7 @@ def main():
     dt = (time.perf_counter() - t0) / reps
 
     alive, nee = np.asarray(prof[0]), np.asarray(prof[1])
-    nrays = float(nr)
+    nrays = float(np.asarray(nr)[0])  # [semantic, traced] since round 4
     print(f"scene={scene_name} tile={tile} lanes, {dt*1e3:.1f} ms/tile-spp, "
           f"{nrays/dt/1e6:.2f} Mrays/s (events={nrays:.0f})")
     print(f"{'bounce':>6} {'alive%':>8} {'nee%':>8}")

@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def run_tile(outdir: str) -> dict:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from ray_tracer_tpu import RenderConfig
     from ray_tracer_tpu.api import _camera_arrays, scene_camera
@@ -66,8 +67,9 @@ def run_tile(outdir: str) -> dict:
                                 n_spp=spp)
         jax.block_until_ready((c, nr))
     dt = time.perf_counter() - t0
-    return {"wall_s": dt, "rays": float(nr),
-            "mrays": float(nr) / dt / 1e6}
+    nr_sem = float(np.asarray(nr)[0])  # [semantic, traced] since round 4
+    return {"wall_s": dt, "rays": nr_sem,
+            "mrays": nr_sem / dt / 1e6}
 
 
 BUCKETS = [
