@@ -277,6 +277,44 @@ def test_binned_wavefront_bit_identical(cornell):
     assert np.array_equal(a, b)
 
 
+def test_ray_accounting_sem_vs_traced(cornell):
+    """n_rays = [semantic, traced] (round-4 advisor): the semantic count
+    matches the reference's per-ray traversal events (every bounce + every
+    diffuse NEE ray, raytrace.comp:443,496); the traced count excludes
+    facing-away NEE lanes resolved analytically.  Both integrators must
+    agree (same per-lane state machine), with traced <= semantic and both
+    at least the primary count."""
+    import jax
+
+    from ray_tracer_tpu.api import _camera_arrays, scene_camera
+
+    cam = scene_camera(cornell)
+    rot, pos, fov, aspect, near = _camera_arrays(cam, CFG)
+    n = CFG.width * CFG.height
+    ids = jnp.arange(n, dtype=jnp.int32)
+
+    _, nr_wave = jax.jit(
+        lambda: wavefront.trace_wave(
+            cornell, rot, pos, fov, aspect, near, ids, jnp.int32(0),
+            jnp.int32(0), 1, CFG, with_stats=True,
+        )
+    )()
+    rays = wavefront.raygen(rot, pos, fov, aspect, near, ids,
+                            CFG.width, CFG.height)
+    _, nr_scan = jax.jit(
+        lambda: wavefront.trace(
+            cornell, rays, ids, jnp.int32(0), jnp.int32(0), CFG,
+            with_stats=True,
+        )
+    )()
+    nr_wave, nr_scan = np.asarray(nr_wave), np.asarray(nr_scan)
+    assert nr_wave.shape == (2,) and nr_scan.shape == (2,)
+    np.testing.assert_allclose(nr_wave, nr_scan)
+    sem, traced = nr_wave
+    assert n <= traced <= sem
+    assert sem > n  # cornell diffuse bounces must have issued NEE rays
+
+
 def test_estimator_ablation_variance_ordering(cornell):
     """Reproduces the reference's importance-sampling study
     (renders/importance_sampling/): at equal sample counts the estimator
