@@ -50,6 +50,75 @@ def test_usemtl_grouping(tmp_path):
     assert [g.positions.shape[0] for g in mesh.groups] == [1, 2]
 
 
+def test_native_obj_twin_all_assets(assets_dir):
+    """The native C++ scanner (scene/native_obj.py) must be BIT-identical
+    to the Python parser on every reference asset: same groups, material
+    names, smooth flags, mtllib resolution, and float arrays (the scanner
+    parses via strtod->f32 to match Python's float()->np.float32 double
+    rounding)."""
+    import glob
+
+    from ray_tracer_tpu.scene import native_obj
+
+    if not native_obj.available():
+        pytest.skip("no native toolchain")
+    assets = sorted(
+        glob.glob(os.path.join(assets_dir, "**", "*.obj"), recursive=True)
+    )
+    assert assets
+    for path in assets:
+        a = objio._parse_obj_py(path)
+        b = native_obj.parse_obj_native(path)
+        assert b is not None, path
+        assert (a.mtl_path or None) == (b.mtl_path or None), path
+        assert len(a.groups) == len(b.groups), path
+        for ga, gb in zip(a.groups, b.groups):
+            assert ga.material == gb.material, path
+            assert ga.smooth == gb.smooth, path
+            assert np.array_equal(ga.positions, gb.positions), path
+            assert np.array_equal(ga.normals, gb.normals), path
+            assert np.array_equal(ga.uvs, gb.uvs), path
+
+
+def test_native_obj_twin_edge_cases(tmp_path):
+    """Synthetic stress: n-gon fans, negative (relative) indices, v//vn
+    and v/vt forms, missing normals (geometric fallback), smooth toggles,
+    first-usemtl special case, material names with spaces, mtllib."""
+    from ray_tracer_tpu.scene import native_obj
+
+    if not native_obj.available():
+        pytest.skip("no native toolchain")
+    p = tmp_path / "stress.obj"
+    p.write_text(
+        "# comment\n"
+        "mtllib  my materials.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\nv 1 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 0.5 1\n"
+        "vt 0.25\n"  # single-component vt
+        "vn 0 0 1\nvn 0 1 0\n"
+        "usemtl first mat\n"  # first-usemtl special case (no flush)
+        "f 1/1/1 2/2/1 3/3/2\n"  # full v/vt/vn
+        "f -5 -4 -3 -1\n"  # negative indices + quad fan, no vt/vn
+        "s 1\n"
+        "usemtl metal 2\n"
+        "f 1//1 2//1 5//2\n"  # v//vn
+        "f 1/4 2/1 3/2\n"  # v/vt, geometric normal fallback
+        "s off\n"
+        "f 2 3 5\n"
+    )
+    a = objio._parse_obj_py(str(p))
+    b = native_obj.parse_obj_native(str(p))
+    assert b is not None
+    assert a.mtl_path == b.mtl_path
+    assert [g.material for g in a.groups] == [g.material for g in b.groups]
+    assert [g.smooth for g in a.groups] == [g.smooth for g in b.groups]
+    assert a.n_tris == b.n_tris == 6  # 1 + quad fan(2) + 3
+    for ga, gb in zip(a.groups, b.groups):
+        assert np.array_equal(ga.positions, gb.positions)
+        assert np.array_equal(ga.normals, gb.normals)
+        assert np.array_equal(ga.uvs, gb.uvs)
+
+
 def test_dedupe_reuses_bvh(assets_dir):
     b = SceneBuilder()
     b.add_material(Material())

@@ -114,14 +114,24 @@ def compare(name, ref_png, ours_srgb, out_dir, ref_box=None, our_box=None):
 
 
 def main():
+    import jax
+
+    if os.environ.get("RT_PARITY_CPU"):
+        # env JAX_PLATFORMS=cpu alone does NOT stick in this image (the
+        # sitecustomize axon registration hangs on a downed tunnel);
+        # the config update before first backend init does.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp  # noqa: F401  (backend init)
 
     from ray_tracer_tpu import RenderConfig, render
     from ray_tracer_tpu.scene import presets
 
     spp = int(os.environ.get("RT_PARITY_SPP", 1024))
-    # reference window is 1728x1117 (vk_engine.h:338)
-    W, H = 864, 558
+    # reference window is 1728x1117 (vk_engine.h:338); comparisons run on
+    # 128px crops, so reduced-res CPU renders (RT_PARITY_W/H) lose
+    # nothing at the metric while the TPU tunnel is down.
+    W = int(os.environ.get("RT_PARITY_W", 864))
+    H = int(os.environ.get("RT_PARITY_H", 558))
     out_dir = os.path.join(os.path.dirname(__file__), "..", "renders", "parity")
 
     cases = {
