@@ -18,6 +18,7 @@ import io
 import json
 import threading
 import time
+from typing import Optional
 
 import numpy as np
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -84,7 +85,8 @@ async function refresh(){
   img.src=(DBG<0?'/image.png?t=':'/debug.png?mode='+DBG+'&t=')+Date.now();
   const s=await (await fetch('/stats')).json();
   document.getElementById('stats').innerText=
-    `frame ${s.frame}  spp ${s.total_samples}  ${s.frame_ms.toFixed(0)} ms/frame`;
+    `frame ${s.frame}  spp ${s.total_samples}  ${s.frame_ms.toFixed(0)} ms/frame`+
+    (s.preview?'  [preview]':'');
   if(!window._init){
     for(const [k,v] of Object.entries(s.camera)) {
       const el=document.getElementById(k); if(el) el.value=v.toFixed(2);
@@ -155,7 +157,7 @@ setInterval(refresh, 800); refresh();
 
 
 class ViewerState:
-    def __init__(self, scene, cfg: RenderConfig):
+    def __init__(self, scene, cfg: RenderConfig, preview_scale: int = 4):
         from .scene.builder import SceneBuilder
 
         self.lock = threading.Lock()
@@ -173,26 +175,69 @@ class ViewerState:
             self.builder.compile().device_put() if self.builder else scene
         )
         self.renderer = ProgressiveRenderer(compiled, cfg)
+        # Instant low-res preview: the first frame after any camera move /
+        # edit renders at 1/preview_scale resolution and 1 spp, so the
+        # view tracks interaction at sub-second latency even on mesh
+        # scenes where a full-res frame takes seconds.  The reference gets
+        # the same effect by pausing accumulation and re-rendering 1-spp
+        # full-res frames during movement (vk_engine.cpp:1867-1891) — its
+        # GPU sustains that at full res; the preview is the TPU-latency
+        # answer.  The browser upscales the small PNG (pixelated).
+        self.preview = None
+        if preview_scale > 1:
+            pcfg = cfg.replace(
+                width=max(16, cfg.width // preview_scale),
+                height=max(16, cfg.height // preview_scale),
+                samples_per_pixel=1,
+            )
+            self.preview = ProgressiveRenderer(
+                compiled, pcfg, camera=self.renderer.camera
+            )
         self.cfg = cfg
         self.frame_ms = 0.0
         self.edits = 0
         self.running = True
+        self.latest_png: Optional[bytes] = None
+        self.latest_is_preview = False
 
-    def loop(self):
-        while self.running:
-            with self.lock:
-                t0 = time.perf_counter()
-                self.renderer.step()
-                self.frame_ms = (time.perf_counter() - t0) * 1e3
-
-    def png_bytes(self) -> bytes:
+    def _encode(self, accum) -> bytes:
         from PIL import Image
 
-        with self.lock:
-            arr = film.to_uint8_srgb(self.renderer.accum)
+        arr = film.to_uint8_srgb(accum)
         buf = io.BytesIO()
         Image.fromarray(arr).save(buf, "PNG")
         return buf.getvalue()
+
+    def _tick(self):
+        """One render step: the low-res preview right after a reset, the
+        full-res accumulation frame otherwise.  Publishes the encoded PNG
+        so /image.png never blocks behind a multi-second frame."""
+        with self.lock:
+            t0 = time.perf_counter()
+            if (
+                self.preview is not None
+                and self.renderer.frame == 0
+                and self.preview.frame == 0
+            ):
+                self.preview.step()
+                self.latest_png = self._encode(self.preview.accum)
+                self.latest_is_preview = True
+            else:
+                self.renderer.step()
+                self.latest_png = self._encode(self.renderer.accum)
+                self.latest_is_preview = False
+            self.frame_ms = (time.perf_counter() - t0) * 1e3
+
+    def loop(self):
+        while self.running:
+            self._tick()
+
+    def png_bytes(self) -> bytes:
+        png = self.latest_png  # atomic reference read (GIL)
+        if png is not None:
+            return png
+        with self.lock:
+            return self._encode(self.renderer.accum)
 
     def stats(self) -> dict:
         cam = self.renderer.camera
@@ -200,6 +245,7 @@ class ViewerState:
             "frame": self.renderer.frame,
             "total_samples": self.renderer.total_samples,
             "frame_ms": self.frame_ms,
+            "preview": self.latest_is_preview,
             "camera": {
                 "px": cam.position[0], "py": cam.position[1], "pz": cam.position[2],
                 "ax": cam.angles_deg[0], "ay": cam.angles_deg[1], "az": cam.angles_deg[2],
@@ -220,6 +266,8 @@ class ViewerState:
         )
         with self.lock:
             self.renderer.move_camera(new)
+            if self.preview is not None:
+                self.preview.move_camera(new)
 
     # -- live scene editing (reference imgui_draw editors,
     # vk_engine.cpp:1522-1603) ------------------------------------------
@@ -303,6 +351,8 @@ class ViewerState:
         compiled = b.compile().device_put()
         with self.lock:
             self.renderer.set_scene(compiled)
+            if self.preview is not None:
+                self.preview.set_scene(compiled)
             self.edits += 1
         return {"ok": True, "edits": self.edits}
 

@@ -204,3 +204,39 @@ def test_viewer_http_endpoints(tmp_path):
         assert dbg[:4] == b"\x89PNG"
     finally:
         srv.shutdown()
+
+
+def test_viewer_preview_then_full():
+    """After any reset (startup / camera move) the first tick publishes a
+    LOW-RES 1-spp preview, the next tick the full-res frame — the
+    sub-second interaction latency the reference's pause-accumulation
+    loop provides (vk_engine.cpp:1867-1891)."""
+    from PIL import Image
+    import io as _io
+
+    from ray_tracer_tpu import RenderConfig, viewer
+    from ray_tracer_tpu.scene import presets
+    from ray_tracer_tpu.scene.types import Camera
+
+    builder = presets.sphere_diffuse()
+    cfg = RenderConfig(width=64, height=64, samples_per_pixel=1,
+                       bounce_limit=1)
+    state = viewer.ViewerState(builder, cfg, preview_scale=4)
+
+    state._tick()  # preview first
+    assert state.latest_is_preview and state.renderer.frame == 0
+    img = Image.open(_io.BytesIO(state.png_bytes()))
+    assert img.size == (16, 16)
+
+    state._tick()  # then the full-res frame
+    assert not state.latest_is_preview and state.renderer.frame == 1
+    assert Image.open(_io.BytesIO(state.png_bytes())).size == (64, 64)
+
+    state._tick()  # accumulation continues at full res
+    assert state.renderer.frame == 2
+
+    # camera move resets both renderers -> preview serves first again
+    state.set_camera({"py": ["-2.0"]})
+    state._tick()
+    assert state.latest_is_preview and state.renderer.frame == 0
+    assert Image.open(_io.BytesIO(state.png_bytes())).size == (16, 16)
