@@ -36,6 +36,12 @@ def bench(f, reps=3):
 
 def main():
     import jax
+
+    # RT_MEASURE_INTERPRET=1: CPU interpret-mode smoke run (tiny sizes) so
+    # the campaign script is known-runnable before a hardware window.
+    interp = os.environ.get("RT_MEASURE_INTERPRET", "0") == "1"
+    if interp:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ray_tracer_tpu.config import Routing
@@ -46,7 +52,8 @@ def main():
     from ray_tracer_tpu.config import RenderConfig
     from ray_tracer_tpu.integrator import wavefront
 
-    n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 260_000
+    n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else (
+        4_000 if interp else 260_000)
     t_c = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     sc = presets.sponza_proxy(n_tris).compile(cluster_t_c=t_c).device_put()
     C = sc.meta["n_clusters"]
@@ -55,7 +62,7 @@ def main():
 
     # ---- 1. sort / scatter glue
     rng = np.random.default_rng(3)
-    for m in (1 << 19, 1 << 21, 1 << 23):
+    for m in ((1 << 12,) if interp else (1 << 19, 1 << 21, 1 << 23)):
         keys = jnp.asarray(rng.integers(0, C, m).astype(np.int32))
         vals = jnp.arange(m, dtype=jnp.int32)
         f1 = jax.jit(jnp.argsort)
@@ -72,7 +79,7 @@ def main():
               f"  scatter-min {t3*1e3:7.2f} ms")
 
     # ---- bounce-ray population
-    n = 1 << 17
+    n = 1 << 12 if interp else 1 << 17
     cfg = RenderConfig(width=1920, height=1080)
     cam = scene_camera(sc)
     rot, pos, fov, aspect, near = _camera_arrays(cam, cfg)
@@ -82,6 +89,7 @@ def main():
     out = packet.packet_traverse_wide(
         sc.wide_packed, sc.leaf_rows, prim.origin, prim.direction, tm, 0,
         max_recs=sc.meta.get("wide_leaf_recs", 8), need_uv=False,
+        interpret=interp,
     )
     dst = np.asarray(out[0]); pr = np.asarray(out[1])
     hitm = pr >= 0
@@ -114,7 +122,7 @@ def main():
         return packet.packet_traverse_wide(
             sc.cwide_packed, dummy, o2b, d2b, tm, 0, top_k=K,
             emit_leaves=True, need_uv=False, mask_mode=rt.mask_mode,
-            packet_size=rt.cluster_enum_packet,
+            packet_size=rt.cluster_enum_packet, interpret=interp,
         )
     te = bench(enum)
     out = enum()
@@ -134,7 +142,7 @@ def main():
         def enum_boxes():
             feats = kcluster.ray_features(o2b, d2b, tm)
             return cluster_trace._enum_boxes(
-                sc, feats, rt, False, lane_active
+                sc, feats, rt, interp, lane_active
             )
         tb = bench(enum_boxes)
         pc, pr, ob = enum_boxes()
@@ -144,14 +152,15 @@ def main():
               f"ovf {np.asarray(ob).mean()*100:.2f}%")
 
     # ---- 3. chunk kernel alone (full occupancy, synthetic grouping)
-    g = 4096
+    g = 32 if interp else 4096
     cids = jnp.asarray(rng.integers(0, C, g).astype(np.int32))
     feats = kcluster.ray_features(o2b, d2b)  # (n,16)
     fch = jnp.broadcast_to(
         feats[:128].T[None], (g, 16, 128)
     ).copy() if hasattr(jnp.ndarray, "copy") else jnp.tile(
         feats[:128].T[None], (g, 1, 1))
-    f4 = lambda: kcluster.cluster_pairs_test(sc.clus_mt, fch, cids, t_c=t_c)
+    f4 = lambda: kcluster.cluster_pairs_test(sc.clus_mt, fch, cids, t_c=t_c,
+                                             interpret=interp)
     t4 = bench(f4)
     print(f"chunk kernel: {t4/g*1e9:.0f} ns/chunk "
           f"({t4/g/128/t_c*1e12:.1f} ps/pair-test, {g} chunks {t4*1e3:.2f} ms)")
@@ -159,13 +168,13 @@ def main():
     # ---- 4. end-to-end vs single-phase packet walk
     def cl():
         return cluster_trace.cluster_traverse(
-            sc, o2b, d2b, tm, rt, False, need_uv=False)
+            sc, o2b, d2b, tm, rt, interp, need_uv=False)
     t5 = bench(cl)
     def pk():
         return packet.packet_traverse_wide(
             sc.wide_packed, sc.leaf_rows, o2b, d2b, tm, 0,
             max_recs=sc.meta.get("wide_leaf_recs", 8), need_uv=False,
-            mask_mode=rt.mask_mode, multi_pop=rt.multi_pop,
+            mask_mode=rt.mask_mode, multi_pop=rt.multi_pop, interpret=interp,
         )
     t6 = bench(pk)
     # correctness cross-check on this population
