@@ -29,6 +29,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     import jax
+
+    # RT_SWEEP_SMOKE=1: tiny CPU run (gather-walk routing) purely to
+    # verify the harness is runnable before a hardware window.
+    smoke = os.environ.get("RT_SWEEP_SMOKE", "0") == "1"
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ray_tracer_tpu import RenderConfig
@@ -44,10 +50,13 @@ def main():
     placements = os.environ.get("RT_SWEEP_PLACEMENTS", "vmem,hbm").split(",")
     spp = int(os.environ.get("RT_SWEEP_SPP", 2))
 
-    scene = presets.sponza_proxy(260_000).compile().device_put()
+    scene = presets.sponza_proxy(4_000 if smoke else 260_000)\
+        .compile().device_put()
     cam = scene_camera(scene)
-    base = RenderConfig(width=1920, height=1080, bounce_limit=8,
-                        max_rays_per_batch=1 << 21)
+    base = RenderConfig(
+        width=64 if smoke else 1920, height=64 if smoke else 1080,
+        bounce_limit=8, max_rays_per_batch=1 << (12 if smoke else 21),
+    )
     rot, pos, fov, aspect, near = _camera_arrays(cam, base)
     n_pix = base.n_pixels
     tile = min(n_pix, base.max_rays_per_batch)
