@@ -11,6 +11,7 @@
 #
 # Usage: bash tools/campaign_r4.sh [logdir]   (default /tmp/campaign_r4)
 set -u
+export PYTHONUNBUFFERED=1  # stage logs survive a mid-run tunnel drop
 LOG=${1:-/tmp/campaign_r4}
 mkdir -p "$LOG"
 cd "$(dirname "$0")/.."
