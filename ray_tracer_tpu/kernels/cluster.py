@@ -37,8 +37,8 @@ def _cluster_kernel(
     cids_ref,  # scalar-prefetch (G,) i32 chunk cluster ids (-1 = dead)
     mt_ref,  # (1,16,N_BLOCKS*t_c) f32 this chunk's coefficient page
     f_ref,  # (1,16,128) f32 this chunk's ray features
-    t_ref,  # (1,128) f32 out: best accepted t per pair lane (BIG = none)
-    p_ref,  # (1,128) i32 out: winning in-cluster triangle index (-1)
+    t_ref,  # (1,1,128) f32 out: best accepted t per pair lane (BIG = none)
+    p_ref,  # (1,1,128) i32 out: winning in-cluster triangle index (-1)
     *,
     t_c: int,
 ):
@@ -103,8 +103,8 @@ def _cluster_kernel(
             tt = jnp.minimum(ta, tb)
             ids = jnp.where(take_b, ib, ia)
             rows = h
-        t_ref[...] = tt
-        p_ref[...] = jnp.where(tt < BIG, ids, -1)
+        t_ref[...] = tt[None]
+        p_ref[...] = jnp.where(tt < BIG, ids, -1)[None]
 
 
 @functools.partial(jax.jit, static_argnames=("t_c", "interpret"))
@@ -140,9 +140,12 @@ def cluster_pairs_test(
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, 128), lambda i, cids: (i, 0),
+            # (1,1,128) trailing block dims equal the array dims — the
+            # Mosaic lowering rejects a 2-D (1,128) block for a (G,128)
+            # array (sublane dim must be 8-divisible or whole).
+            pl.BlockSpec((1, 1, 128), lambda i, cids: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i, cids: (i, 0),
+            pl.BlockSpec((1, 1, 128), lambda i, cids: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -150,12 +153,12 @@ def cluster_pairs_test(
         functools.partial(_cluster_kernel, t_c=t_c),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((g, 128), jnp.float32),
-            jax.ShapeDtypeStruct((g, 128), jnp.int32),
+            jax.ShapeDtypeStruct((g, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, 128), jnp.int32),
         ],
         interpret=interpret,
     )(chunk_cid.astype(jnp.int32), clus_mt, feats)
-    return t, p
+    return t[:, 0], p[:, 0]
 
 
 def _box_kernel(
