@@ -603,8 +603,12 @@ def _packet8_kernel(
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (8,1) exact lane counts (0/1 inputs, <=128)
+                    # iota must be integer-typed for Mosaic (tpu.iota
+                    # verification rejects float results on hardware)
                     w8 = jnp.exp2(
-                        jax.lax.broadcasted_iota(jnp.float32, (8, 1), 0)
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (8, 1), 0
+                        ).astype(jnp.float32)
                     )
                     bits = jnp.where(counts > 0, w8, 0.0)
                     r = 8
