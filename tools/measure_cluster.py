@@ -23,14 +23,22 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def bench(f, reps=3):
+def _sync(r):
+    # host transfer, not block_until_ready: the axon tunnel has returned
+    # early from block_until_ready (r4 knob sweep, cell 1)
     import jax
 
-    r = jax.block_until_ready(f())
+    for leaf in jax.tree.leaves(r):
+        np.asarray(leaf)
+    return r
+
+
+def bench(f, reps=3):
+    _sync(f())
     t0 = time.perf_counter()
     for _ in range(reps):
         r = f()
-    jax.block_until_ready(r)
+    _sync(r)
     return (time.perf_counter() - t0) / reps
 
 
