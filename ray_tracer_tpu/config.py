@@ -80,14 +80,15 @@ class Routing:
     # the classic packet walk (overflow ~2% at 16 on the hardened proxy,
     # tools/sim_cluster.py).
     cluster_k: int = 16
-    # Candidate enumeration flavor: 'boxes' (two brute-force slab-matmul
-    # levels — box containment makes {cluster AABBs entered} exactly the
-    # candidate set, so no walk is needed and the whole enumeration rides
-    # the MXU; CPU sim: the packet-emit walk is tree-SATURATED on bounce
-    # rays, ~70-130 ns/ray, vs ~25-35 estimated for boxes) or 'packet'
-    # (the emit-mode packet walk — also the fallback when the scene
-    # exceeds the 128-super x 128-cluster two-level capacity).
-    cluster_enum: str = "boxes"
+    # Candidate enumeration flavor.  MEASURED on the v5e (r4 campaign,
+    # BENCH_NOTES): 'packet' (emit-mode walk over the tiny cluster BVH8)
+    # enumerates binned bounce rays at 83 ns/ray; 'boxes' (two
+    # brute-force slab-matmul levels) measured 25x SLOWER (2.1 us/ray)
+    # despite the favorable CPU sim — the hardware killed it the way it
+    # killed two-phase treelets.  'boxes' stays as a tested variant;
+    # 'packet' is also the capacity fallback for scenes beyond the
+    # 128-super x 128-cluster two-level limit.
+    cluster_enum: str = "packet"
     # Packet size for the 'packet' enumeration walk.  The enum tree is
     # tiny (a few hundred wide nodes), so a packet's node union is capped
     # by the tree itself and bigger packets amortize each visit over more
@@ -116,7 +117,7 @@ class Routing:
             mask_mode=os.environ.get("RT_MASK_MODE", "sum2"),
             cluster=os.environ.get("RT_CLUSTER", "auto"),
             cluster_k=int(os.environ.get("RT_CLUSTER_K", 16)),
-            cluster_enum=os.environ.get("RT_CLUSTER_ENUM", "boxes"),
+            cluster_enum=os.environ.get("RT_CLUSTER_ENUM", "packet"),
             cluster_enum_packet=int(
                 os.environ.get("RT_CLUSTER_ENUM_PACKET", 8192)
             ),
