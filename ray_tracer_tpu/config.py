@@ -73,8 +73,10 @@ class Routing:
     # MXU cluster pipeline (round 3): candidate-cluster enumeration over
     # the tiny cluster-BVH8, (ray,cluster) pair grouping, and matmul-dense
     # triangle tests (ops/cluster_trace.py).  'on' routes triangle
-    # traversal through it, 'off' never, 'auto' defers to the measured
-    # default (off until the sort/scatter glue is timed on hardware).
+    # traversal through it, 'off' never.  'auto' = off, MEASURED (r4
+    # campaign): end-to-end 0.27 vs 1.81 Mrays/s for the single-phase
+    # packet walk on identical binned bounce rays — a 6.7x loss (enum
+    # walk 83 ns/ray + pair glue dominate; BENCH_NOTES r4 post-mortem).
     cluster: str = "auto"
     # Per-lane cluster emit slots; lanes with more candidates fall back to
     # the classic packet walk (overflow ~2% at 16 on the hardened proxy,

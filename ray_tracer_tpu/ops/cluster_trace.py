@@ -61,7 +61,10 @@ def use_cluster(scene: CompiledScene, mode: str, routing: Routing) -> bool:
         return False
     if routing.cluster == "on":
         return True
-    return False  # "auto": off until measured on hardware
+    # "auto" = off, now MEASURED (r4 campaign, BENCH_NOTES): end-to-end
+    # 0.27 vs 1.81 Mrays/s for the packet walk on identical binned
+    # bounce-ray populations — the pipeline lost 6.7x on hardware.
+    return False
 
 
 def _uvfront_global(tri_packed, origin, direction, prim):

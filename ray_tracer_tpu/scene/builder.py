@@ -184,7 +184,7 @@ class SceneBuilder:
         flatten_instances: bool = True,
         merge_wide_leaves: bool = None,
         spatial_splits: bool = None,
-        cluster_t_c: int = 128,
+        cluster_t_c: int = None,
         clusters: bool = None,
     ) -> CompiledScene:
         """Flatten to device arrays.
@@ -205,6 +205,12 @@ class SceneBuilder:
 
         f32 = np.float32
         i32 = np.int32
+        clusters_forced = clusters is True
+        if clusters is None:
+            # an explicit cluster_t_c is an opt-in (tests/harnesses)
+            clusters = cluster_t_c is not None
+        if cluster_t_c is None:
+            cluster_t_c = 128
         if max_leaf_tris is None:
             # Fatter leaves on big scenes shrink the node table (VMEM
             # residency for the packet kernel) at trivial dense-test cost.
@@ -610,12 +616,12 @@ class SceneBuilder:
             # ---- MXU cluster pipeline tables (accel/cluster.py):
             # contiguous-range triangle clusters cut from the binary tree,
             # their transposed MT coefficient pages, and the enumeration
-            # BVH8 over cluster AABBs.  Pages cost ~500 B/tri of HBM, so
-            # the auto default skips scenes past 2M tris (the hbm/hbm2
-            # packet placements serve those); ``clusters=True`` forces.
-            forced = clusters is True
-            if clusters is None:
-                clusters = n_tris <= 2_000_000
+            # BVH8 over cluster AABBs.  The route MEASURED 6.7x SLOWER
+            # than the packet walk on the v5e (BENCH_NOTES r4), so the
+            # default builds NO tables (they cost ~500 B/tri of HBM and
+            # ~1 s of compile); ``clusters=True`` opts in for the tested
+            # cluster variants and measurement harnesses.
+            forced = clusters_forced
             if clusters:
                 from ..accel.cluster import (
                     ClusterCapacityError,

@@ -24,12 +24,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _sync(r):
-    # host transfer, not block_until_ready: the axon tunnel has returned
-    # early from block_until_ready (r4 knob sweep, cell 1)
+    # Single-ELEMENT host fetch per output: block_until_ready has
+    # returned early on the axon tunnel (r4 knob sweep, cell 1), and a
+    # full np.asarray drags the whole buffer through the tunnel
+    # (~50 MB/s — a 64 MB sort result added ~1.3 s to a 1 ms kernel).
+    # Fetching one element waits for the producing computation and
+    # moves 4 bytes.
     import jax
+    import jax.numpy as jnp
 
     for leaf in jax.tree.leaves(r):
-        np.asarray(leaf)
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            np.asarray(jnp.ravel(leaf)[0])
+        else:
+            np.asarray(leaf)
     return r
 
 
