@@ -517,6 +517,36 @@ def _packet8_kernel(
     def cond(state):
         return state[0] > 0
 
+    def visit_leaf(code, s):
+        if os.environ.get("RT_ABLATE", "") == "skeleton_nl":
+            return s  # measurement-only: leaf visit = pop + cond
+        # leaf code payload: -(slot*16 + cnt) - 1
+        leaf_tris((-code - 1) // 16)
+        return s
+
+    def push_masked(code, sp, mask):
+        """Masked near-first child pushes from the SMEM meta mirror
+        (the tail of the classic interior visit, shared with the
+        fused-mask body which computes ``mask`` for several popped
+        nodes at once)."""
+        axis = meta_ref[code * 12 + 8]
+        codes8 = [meta_ref[code * 12 + c] for c in range(8)]
+        neg = jnp.where(
+            axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z)
+        )
+        s = sp
+        for c in range(8):
+            slot = jnp.where(neg, c, 7 - c)
+            bit = (mask >> slot) & 1
+            val = jnp.where(neg, codes8[c], codes8[7 - c])
+
+            @pl.when(bit == 1)
+            def _(s=s, val=val):
+                stack_ref[s] = val
+
+            s = s + bit
+        return s
+
     def body(state):
         sp, ni, nl = state
         # Pop up to ``multi_pop`` stack entries per iteration and visit
@@ -538,13 +568,6 @@ def _packet8_kernel(
         ]
         s = sp - n_pop
         best = dst_ref[...]
-
-        def visit_leaf(code, s):
-            if os.environ.get("RT_ABLATE", "") == "skeleton_nl":
-                return s  # measurement-only: leaf visit = pop + cond
-            # leaf code payload: -(slot*16 + cnt) - 1
-            leaf_tris((-code - 1) // 16)
-            return s
 
         def compute_mask(row, best):
             """Per-child 'any live lane wants child c' -> 8-bit scalar mask.
@@ -859,8 +882,110 @@ def _packet8_kernel(
                 nl = nl + is_leaf
         return (s, ni, nl)
 
+    fused_k = (
+        int(mask_mode[5:]) if str(mask_mode).startswith("fused") else 0
+    )
+
+    def body_fused(state):
+        """Pop up to K nodes and resolve ALL their descend masks with ONE
+        MXU matvec.
+
+        The r3/r4 decomposition says the interior visit is dominated by
+        the vector->scalar mask sync (~290 ns under sum2/mxu vs ~150 ns
+        of slab math), and chaining visits through lax.cond (multi_pop)
+        cannot overlap it — mp=2 measured 3% SLOWER on the official
+        bench.  Here the K popped nodes' slab tests run straight-line,
+        their per-lane hit bits fold to K (1,128) rows, and a single
+        (8,128K) @ (128K,128) block-diagonal contraction yields every
+        node's per-child lane counts at once — one sync for K visits.
+        Garbage masks computed for popped LEAF codes (clamped to node 0)
+        are never read: the per-node dispatch still routes leaves to the
+        VPU Moller-Trumbore path.  Traversal ORDER changes exactly like
+        multi_pop (pre-popped siblings), which affects pruning only;
+        ``best`` is snapshotted once per iteration (conservative)."""
+        sp, ni, nl = state
+        kf = fused_k
+        n_pop = jnp.minimum(sp, jnp.int32(kf))
+        codes = [
+            stack_ref[jnp.maximum(sp - 1 - j, 0)] for j in range(kf)
+        ]
+        s = sp - n_pop
+        best = dst_ref[...]
+        packs = []
+        for j in range(kf):
+            row = node_row(jnp.maximum(codes[j], 0))
+            packed = None
+            for c in range(8):
+                hv = child_hit(row, c, best)
+                b = jnp.where(hv, jnp.int32(1 << c), 0)
+                packed = b if packed is None else (packed | b)
+            rows = packed.shape[0]
+            while rows > 1:
+                packed = packed[: rows // 2] | packed[rows // 2 : rows]
+                rows //= 2
+            packs.append(packed)  # (1,128) i32: 8 hit bits per lane
+        rows8 = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [((p >> c) & 1).astype(jnp.float32) for c in range(8)],
+                    axis=0,
+                )
+                for p in packs
+            ],
+            axis=1,
+        )  # (8, 128*K): row c, block j = node j's child-c hit bits
+        # block-diagonal selector: column j sums node j's 128 lanes only
+        # (columns >= K never match and stay zero).  0/1 inputs are exact
+        # in one default-precision MXU pass; counts <= 128 are exact in
+        # the f32 accumulator.
+        blk = (
+            jax.lax.broadcasted_iota(jnp.int32, (128 * kf, 128), 0) // 128
+            == jax.lax.broadcasted_iota(jnp.int32, (128 * kf, 128), 1)
+        ).astype(jnp.float32)
+        counts = jax.lax.dot_general(
+            rows8, blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (8, 128): column j = node j's per-child lane counts
+        w8 = jnp.exp2(
+            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0).astype(
+                jnp.float32
+            )
+        )
+        bits = jnp.where(counts > 0, w8, 0.0)
+        r = 8
+        while r > 1:
+            bits = bits[: r // 2] + bits[r // 2 : r]
+            r //= 2  # (1,128): lane j holds node j's 8-bit descend mask
+        for j in range(kf):
+            code = codes[j]
+            mask_j = bits[0, j].astype(jnp.int32)
+
+            def do_visit(sv, code=code, mask_j=mask_j):
+                return jax.lax.cond(
+                    code < 0,
+                    lambda: visit_leaf(code, sv),
+                    lambda: push_masked(code, sv, mask_j),
+                )
+
+            if j == 0:
+                s = do_visit(s)  # while cond guarantees sp > 0
+                valid = jnp.int32(1)
+            else:
+                taken = jnp.int32(j) < n_pop
+                s = jax.lax.cond(
+                    taken,
+                    lambda s=s, code=code, mask_j=mask_j: do_visit(s),
+                    lambda s=s: s,
+                )
+                valid = jnp.where(taken, jnp.int32(1), jnp.int32(0))
+            if with_visits:
+                is_leaf = jnp.where(code < 0, valid, jnp.int32(0))
+                ni = ni + valid - is_leaf
+                nl = nl + is_leaf
+        return (s, ni, nl)
+
     final = jax.lax.while_loop(
-        cond, body,
+        cond, body_fused if fused_k > 1 else body,
         (
             sp_init if deep_e else jnp.int32(1),
             jnp.int32(0),
@@ -997,6 +1122,13 @@ def packet_traverse_wide(
     n_wide = nodes.shape[0]
     use_meta = n_wide * 12 * 4 <= 600_000
     assert not (top_k and not use_meta), "top mode needs the SMEM meta"
+    if str(mask_mode).startswith("fused") and (
+        nodes_in_hbm or top_k or deep_e or not use_meta
+    ):
+        # the fused-mask body needs VMEM-resident nodes (K straight-line
+        # row reads), the SMEM meta mirror for its shared push tail, and
+        # the plain single-phase walk; everything else falls back.
+        mask_mode = "sum2"
     if use_meta:
         codes_f = nodes[:, 6:70:8]  # (W,8) f32-held ints (NaN on empties)
         tr_col = (
@@ -1044,10 +1176,15 @@ def packet_traverse_wide(
         mask_mode=mask_mode,
         emit_leaves=emit_leaves,
     )
-    # multi_pop visits push up to 8*multi_pop entries per iteration, so the
-    # worst-case stack depth scales with it
+    # multi_pop / fused-mask visits push up to 8*K entries per iteration,
+    # so the worst-case stack depth scales with K
+    _k_iter = max(
+        1,
+        multi_pop,
+        int(mask_mode[5:]) if str(mask_mode).startswith("fused") else 1,
+    )
     scratch = [
-        pltpu.SMEM((STACK_DEPTH * 8 * max(1, multi_pop),), jnp.int32)
+        pltpu.SMEM((STACK_DEPTH * 8 * _k_iter,), jnp.int32)
     ]
     rows_per_slot = 2 if max_recs > 8 else 1
     if tris_in_hbm:

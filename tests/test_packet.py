@@ -121,7 +121,7 @@ def test_wide_packet_matches_walk(rand):
     np.testing.assert_array_equal(np.asarray(got.prim)[m], np.asarray(ref.prim)[m])
 
 
-@pytest.mark.parametrize("mm", ["sum4", "mxu"])
+@pytest.mark.parametrize("mm", ["sum4", "mxu", "fused2", "fused4"])
 def test_wide_packet_mask_modes_bit_identical(rand, mm):
     """Every mask scheme computes the same EXACT descend mask, so the wide
     walk must be bit-identical across them (same visits, same order)."""
