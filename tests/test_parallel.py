@@ -65,14 +65,32 @@ def test_data_parallel_packet_kernel(cornell):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_data_parallel_cluster_routing(cornell):
-    """The MXU cluster pipeline composes with shard_map: the scene
-    (including coefficient pages) is replicated, each shard runs the full
-    enumerate/group/test pipeline on its pixel shard."""
+def test_data_parallel_fused_mask(cornell):
+    """The fused K-visit mask mode (one MXU matvec per K visits)
+    composes with shard_map the same as the default packet route."""
     from ray_tracer_tpu.config import Routing
 
-    cfg = CFG.replace(routing=Routing(packet="interpret", cluster="on"))
+    cfg = CFG.replace(routing=Routing(packet="interpret", mask_mode="fused4"))
     m = pmesh.make_mesh(n_data=8, n_sample=1)
     sharded = np.asarray(pmesh.render_frame_sharded(cornell, cfg, m))
     single = np.asarray(render(cornell.device_put(), CFG))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_data_parallel_cluster_routing(cornell):
+    """The MXU cluster pipeline composes with shard_map: the scene
+    (including coefficient pages) is replicated, each shard runs the full
+    enumerate/group/test pipeline on its pixel shard.  (The route is
+    default-off after the r4 hardware verdict; tables are opt-in.)"""
+    import os
+
+    from ray_tracer_tpu.config import Routing
+
+    assets = os.environ.get("RT_ASSETS", "/root/reference/assets")
+    scene = presets.default_scene(assets).compile(clusters=True)
+    cfg = CFG.replace(routing=Routing(packet="interpret", cluster="on"))
+    m = pmesh.make_mesh(n_data=8, n_sample=1)
+    sharded = np.asarray(pmesh.render_frame_sharded(scene, cfg, m))
+    single = np.asarray(render(scene.device_put(), CFG))
     np.testing.assert_allclose(sharded, single, atol=1e-5)
