@@ -885,6 +885,24 @@ def _packet8_kernel(
     fused_k = (
         int(mask_mode[5:]) if str(mask_mode).startswith("fused") else 0
     )
+    if fused_k > 1:
+        # loop-invariant operands of the fused-mask contraction, built
+        # OUTSIDE the while body so they lower once (an in-body iota
+        # rebuild of the (128K,128) selector would cost ~300 ns/visit —
+        # the very sync budget the fusion saves)
+        _fblk = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (128 * fused_k, 128), 0
+            ) // 128
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (128 * fused_k, 128), 1
+            )
+        ).astype(jnp.float32)
+        _fw8 = jnp.exp2(
+            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0).astype(
+                jnp.float32
+            )
+        )
 
     def body_fused(state):
         """Pop up to K nodes and resolve ALL their descend masks with ONE
@@ -938,20 +956,11 @@ def _packet8_kernel(
         # (columns >= K never match and stay zero).  0/1 inputs are exact
         # in one default-precision MXU pass; counts <= 128 are exact in
         # the f32 accumulator.
-        blk = (
-            jax.lax.broadcasted_iota(jnp.int32, (128 * kf, 128), 0) // 128
-            == jax.lax.broadcasted_iota(jnp.int32, (128 * kf, 128), 1)
-        ).astype(jnp.float32)
         counts = jax.lax.dot_general(
-            rows8, blk, (((1,), (0,)), ((), ())),
+            rows8, _fblk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (8, 128): column j = node j's per-child lane counts
-        w8 = jnp.exp2(
-            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0).astype(
-                jnp.float32
-            )
-        )
-        bits = jnp.where(counts > 0, w8, 0.0)
+        bits = jnp.where(counts > 0, _fw8, 0.0)
         r = 8
         while r > 1:
             bits = bits[: r // 2] + bits[r // 2 : r]
