@@ -63,13 +63,17 @@ class Routing:
     # visits' vector work overlap; traversal order changes slightly
     # (pruning efficiency only, never correctness).  1 = the classic walk.
     multi_pop: int = 1
-    # Wide-kernel child-mask scheme ('sum2'|'sum4'|'rollor').  The mask's
-    # cross-lane reductions are the dominant interior-visit cost (~590ns
-    # of ~770ns under sum4, BENCH_NOTES r3 ablation); 'sum2' pre-folds
-    # sublanes and packs 4 children x 8-bit count fields per word so only
-    # TWO lane reductions are issued.  'rollor' (explicit roll+OR fold,
-    # one sum) measured slower than sum4 — kept as a measurement harness.
-    mask_mode: str = "sum2"
+    # Wide-kernel child-mask scheme ('mxu'|'sum2'|'sum4'|'rollor'|
+    # 'fusedK').  The mask's cross-lane reductions are the dominant
+    # interior-visit cost (~590ns of ~770ns under sum4, BENCH_NOTES r3
+    # ablation); 'sum2' pre-folds sublanes and packs 4 children x 8-bit
+    # count fields per word so only TWO lane reductions are issued;
+    # 'mxu' resolves the per-child lane counts with one int-iota matvec
+    # and won the 16-cell hardware sweep (3.08 vs 3.05 Mrays/s, r4) —
+    # the default.  'rollor' (roll+OR fold) and 'fused2'/'fused4' (one
+    # block-diagonal contraction for K popped nodes) both measured
+    # SLOWER (BENCH_NOTES r3/r4) — kept as equivalence-tested variants.
+    mask_mode: str = "mxu"
     # MXU cluster pipeline (round 3): candidate-cluster enumeration over
     # the tiny cluster-BVH8, (ray,cluster) pair grouping, and matmul-dense
     # triangle tests (ops/cluster_trace.py).  'on' routes triangle
@@ -116,7 +120,7 @@ class Routing:
             two_phase=os.environ.get("RT_TWO_PHASE", "0") != "0",
             top_k=int(os.environ.get("RT_TOP_K", 5)),
             multi_pop=int(os.environ.get("RT_MULTI_POP", 1)),
-            mask_mode=os.environ.get("RT_MASK_MODE", "sum2"),
+            mask_mode=os.environ.get("RT_MASK_MODE", "mxu"),
             cluster=os.environ.get("RT_CLUSTER", "auto"),
             cluster_k=int(os.environ.get("RT_CLUSTER_K", 16)),
             cluster_enum=os.environ.get("RT_CLUSTER_ENUM", "packet"),
