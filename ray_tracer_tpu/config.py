@@ -165,6 +165,15 @@ class RenderConfig:
     # 2), so big-spp renders are split into per-chunk dispatches; results
     # are identical (counter-based RNG + exact chunk-weighted mean).
     max_spp_per_dispatch: int = 32
+    # Lane-pool ceiling for the spp-lane population mode (wavefront
+    # trace_wave): each pixel's samples are split across up to
+    # lane_pool // n_pixels lanes so coherence binning draws from a
+    # g-times larger population.  Measured on the official bench
+    # (tools/measure_pop.py round 4): +12% at spp2 (3.06 -> 3.44 Mrays/s,
+    # 4.15M lanes) and +16% at spp4 (3.16 -> 3.68, 8.3M lanes, still no
+    # memory pressure on the 16G v5e).  0 = auto (1 << 23); set to 1 to
+    # disable expansion (lanes = pixels, the round-3 schedule).
+    lane_pool: int = 0
     # Compact bounce/NEE rays alive-first before traversal so dead lanes
     # cluster into trailing packets that exit at the BVH root (~1.3 us
     # each, measured).  Implemented as a stable two-bucket partition (one

@@ -735,7 +735,79 @@ def _bin_key(scene: CompiledScene, origin, direction, alive, mb=5, db=0):
     return jnp.where(alive, key, jnp.int32(1) << 30)
 
 
+def _lane_groups(n_lanes: int, n_spp: int, cfg: RenderConfig) -> int:
+    """Sample-split factor g for the spp-lane population mode.
+
+    Splits each pixel's ``n_spp`` samples across ``g`` lanes (each lane
+    regenerates ``n_spp // g`` samples) so the wavefront's binnable
+    population grows g-fold.  Coherence binning clusters better from a
+    larger pool (union sim, BENCH_NOTES r3), and the effect was still
+    unsaturated at one frame of PIXELS — measured +12% on the official
+    bench when the spp2 frame runs as 4.15M single-sample lanes instead
+    of 2.07M two-sample lanes (tools/measure_pop.py, round 4).
+
+    Prefers g = n_spp (then the left-fold group sum reproduces the
+    sequential per-lane accumulation order exactly -> bit-identical
+    images); otherwise the largest divisor of n_spp that keeps total
+    lanes within ``cfg.lane_pool`` (ULP-level reassociation only).
+    """
+    pool = cfg.lane_pool if cfg.lane_pool else (1 << 23)
+    cap = max(1, pool // max(n_lanes, 1))
+    if cap >= n_spp:
+        return n_spp
+    for d in range(cap, 1, -1):
+        if n_spp % d == 0:
+            return d
+    return 1
+
+
 def trace_wave(
+    scene: CompiledScene,
+    rot,
+    pos,
+    fov,
+    aspect,
+    near,
+    pixel_id: jnp.ndarray,
+    frame: jnp.ndarray,
+    sample_base: jnp.ndarray,
+    n_spp: int,
+    cfg: RenderConfig,
+    with_stats: bool = False,
+):
+    """All ``n_spp`` samples of each pixel — lane-pooled when profitable.
+
+    Expands to ``g = _lane_groups(...)`` lanes per pixel (each owning a
+    contiguous run of sample indices via its per-lane ``sample_base``)
+    before entering the wavefront, then folds the g per-group sums back
+    per pixel in ascending-k order.  Per-sample radiances are computed by
+    independent lanes from counter-based RNG streams keyed on
+    (pixel, sample), so the only effect is float summation order — and
+    none at all when g == n_spp (the common case; see _lane_groups).
+    """
+    n = pixel_id.shape[0]
+    g = _lane_groups(n, n_spp, cfg)
+    if g <= 1:
+        return _trace_wave_lanes(
+            scene, rot, pos, fov, aspect, near, pixel_id, frame,
+            sample_base, n_spp, cfg, with_stats,
+        )
+    per = n_spp // g
+    base = jnp.broadcast_to(jnp.asarray(sample_base, jnp.int32), (n,))
+    pix_g = jnp.concatenate([pixel_id.astype(jnp.int32)] * g)
+    base_g = jnp.concatenate([base + jnp.int32(k * per) for k in range(g)])
+    out = _trace_wave_lanes(
+        scene, rot, pos, fov, aspect, near, pix_g, frame, base_g, per,
+        cfg, with_stats,
+    )
+    lanes = out[0] if with_stats else out
+    acc = lanes[:n]
+    for k in range(1, g):  # ordered left fold = sequential sample order
+        acc = acc + lanes[k * n:(k + 1) * n]
+    return (acc, out[1]) if with_stats else acc
+
+
+def _trace_wave_lanes(
     scene: CompiledScene,
     rot,
     pos,
@@ -805,6 +877,9 @@ def trace_wave(
         alive: jnp.ndarray  # (N,) lane has a pending hit to shade
         j: jnp.ndarray  # (N,) i32 bounce index of the pending hit
         s: jnp.ndarray  # (N,) i32 sample index (== n_spp -> retired)
+        sb: jnp.ndarray  # (N,) i32 per-lane sample-index base (rides permutes;
+        #   scalar ``sample_base`` broadcasts here, so lanes may each own a
+        #   DIFFERENT sample of the same pixel — the spp-lane population mode)
         acc: jnp.ndarray  # (N,3) banked color sum of completed samples
         pix: jnp.ndarray  # (N,) i32 pixel id of the lane (rides permutes)
         slot: jnp.ndarray  # (N,) i32 original lane (output position)
@@ -813,8 +888,9 @@ def trace_wave(
     use_raw = bool(cfg.nee_anyhit)
     space = traverse.prim_space(scene, rt) if use_raw else "tri"
     s0 = jnp.zeros((n,), jnp.int32)
+    sb0 = jnp.broadcast_to(jnp.asarray(sample_base, jnp.int32), (n,))
     pix0 = jnp.asarray(pixel_id, jnp.int32)
-    rays0 = primary_rays(pix0, sample_base + s0)
+    rays0 = primary_rays(pix0, sb0 + s0)
     hit0 = traverse.traverse(
         scene, rays0.origin, rays0.direction, jnp.ones((n,), bool),
         raw=use_raw, routing=rt, need_uv=False,
@@ -830,6 +906,7 @@ def trace_wave(
         alive=jnp.ones((n,), bool),
         j=jnp.zeros((n,), jnp.int32),
         s=s0,
+        sb=sb0,
         acc=f3(0.0),
         pix=pix0,
         slot=jnp.arange(n, dtype=jnp.int32),
@@ -842,7 +919,7 @@ def trace_wave(
     def round_(w: Wave) -> Wave:
         hit = w.hit
         j = w.j
-        sample = sample_base + w.s
+        sample = w.sb + w.s
         did = w.alive & hit.did_hit
 
         (hp, normal, uv, albedo, emission, reflectance, ior, tex_id,
@@ -963,7 +1040,7 @@ def trace_wave(
         s_new = w.s + path_ends.astype(jnp.int32)
         regen = path_ends & (s_new < n_spp)
 
-        prim = primary_rays(w.pix, sample_base + s_new)
+        prim = primary_rays(w.pix, w.sb + s_new)
         bounce_origin = hp + normal * (origin_sign * 1e-5)[:, None]
         bounce_origin = jnp.where(
             cutout[:, None], hp + w.direction * 1e-4, bounce_origin
@@ -988,7 +1065,7 @@ def trace_wave(
         # ---- post-NEE ``direct`` ingredients (resolved after traversal)
         fresh_direct = shaded & ~path_ends  # lanes taking this round's NEE
         direct_base = jnp.where(path_ends[:, None], 0.0, w.direct)
-        pix, slot, s_cur, j_cur = w.pix, w.slot, s_new, j_new
+        pix, slot, s_cur, j_cur, sb_cur = w.pix, w.slot, s_new, j_new, w.sb
 
         if do_bin:
             # ---- coherence binning: permute every live per-lane value so
@@ -1016,7 +1093,9 @@ def trace_wave(
                 ],
                 axis=1,
             )[order]
-            packed_i = jnp.stack([j_cur, s_cur, pix, slot, li], axis=1)[order]
+            packed_i = jnp.stack(
+                [j_cur, s_cur, pix, slot, li, sb_cur], axis=1
+            )[order]
             v3 = lambda k: packed[:, 3 * k : 3 * k + 3]
             (new_origin, new_dir, atten, total, acc, direct_base,
              nee_origin, l_dir, nee_k) = (v3(k) for k in range(9))
@@ -1028,7 +1107,9 @@ def trace_wave(
             cos_pdf_at_l = col(4)
             l_dist = col(5)
             nee_active = col(6) > 0.5
-            j_cur, s_cur, pix, slot, li = (packed_i[:, k] for k in range(5))
+            j_cur, s_cur, pix, slot, li, sb_cur = (
+                packed_i[:, k] for k in range(6)
+            )
 
         # ---- traverse the merged wavefront (bounce ++ regenerated primary)
         hit_next = traverse.traverse(
@@ -1105,6 +1186,7 @@ def trace_wave(
             alive=alive,
             j=j_cur,
             s=s_cur,
+            sb=sb_cur,
             acc=acc,
             pix=pix,
             slot=slot,
@@ -1134,7 +1216,8 @@ def trace_wave(
             hit=jax.tree.map(f, w.hit),
             atten=f(w.atten), total=f(w.total), direct=f(w.direct),
             bad=f(w.bad), alive=f(w.alive), j=f(w.j), s=f(w.s),
-            acc=f(w.acc), pix=f(w.pix), slot=f(w.slot), n_rays=w.n_rays,
+            sb=f(w.sb), acc=f(w.acc), pix=f(w.pix), slot=f(w.slot),
+            n_rays=w.n_rays,
         )
 
     banked_acc, banked_slot = [], []

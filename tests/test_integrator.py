@@ -277,6 +277,43 @@ def test_binned_wavefront_bit_identical(cornell):
     assert np.array_equal(a, b)
 
 
+def test_lane_pool_spp_split_bit_identical(cornell):
+    """The spp-lane population mode never changes the image.
+
+    lane_pool expansion splits each pixel's samples across g lanes
+    (wavefront._lane_groups) purely to enlarge the coherence-binning
+    population — measured +12-16% on hardware (BENCH_NOTES r4).  With a
+    full split (g == n_spp) the ordered left fold over groups reproduces
+    the sequential per-lane accumulation exactly, so the image must be
+    BIT-identical to lane_pool=1 (lanes = pixels); a partial split
+    (g=2 of spp4) only reassociates the per-pixel sum -> allclose.
+    """
+    import jax
+
+    from ray_tracer_tpu.api import _camera_arrays, scene_camera
+
+    cfg = RenderConfig(width=64, height=64)
+    cam = scene_camera(cornell)
+    rot, pos, fov, aspect, near = _camera_arrays(cam, cfg)
+    n = 64 * 64
+    ids = jnp.arange(n, dtype=jnp.int32)
+
+    def run(pool):
+        c = cfg.replace(lane_pool=pool)
+        return np.asarray(jax.jit(
+            lambda: wavefront.trace_wave(
+                cornell, rot, pos, fov, aspect, near, ids, jnp.int32(0),
+                jnp.int32(0), 4, c,
+            )
+        )())
+
+    seq = run(1)  # lanes = pixels: each lane regenerates 4 samples
+    full = run(0)  # auto pool: g=4, one sample per lane
+    assert np.array_equal(seq, full)
+    half = run(2 * n)  # g=2, per-lane 2 samples: reassociated sum only
+    np.testing.assert_allclose(half, seq, rtol=2e-6, atol=1e-6)
+
+
 def test_ray_accounting_sem_vs_traced(cornell):
     """n_rays = [semantic, traced] (round-4 advisor): the semantic count
     matches the reference's per-ray traversal events (every bounce + every
