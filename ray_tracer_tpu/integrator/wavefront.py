@@ -746,10 +746,13 @@ def _lane_groups(n_lanes: int, n_spp: int, cfg: RenderConfig) -> int:
     bench when the spp2 frame runs as 4.15M single-sample lanes instead
     of 2.07M two-sample lanes (tools/measure_pop.py, round 4).
 
-    Prefers g = n_spp (then the left-fold group sum reproduces the
-    sequential per-lane accumulation order exactly -> bit-identical
-    images); otherwise the largest divisor of n_spp that keeps total
-    lanes within ``cfg.lane_pool`` (ULP-level reassociation only).
+    Prefers g = n_spp (the left-fold group sum then reproduces the
+    sequential sample order); otherwise the largest divisor of n_spp
+    that keeps total lanes within ``cfg.lane_pool``.  The sampled paths
+    are identical either way (RNG streams are keyed on (pixel, sample));
+    images agree to float-scheduling tolerance only, because the
+    expanded lane count compiles a different XLA program (reassociated
+    FMAs — the same allowance as batch-shape tiling, quirk Q9 tests).
     """
     pool = cfg.lane_pool if cfg.lane_pool else (1 << 23)
     cap = max(1, pool // max(n_lanes, 1))
@@ -780,10 +783,10 @@ def trace_wave(
     Expands to ``g = _lane_groups(...)`` lanes per pixel (each owning a
     contiguous run of sample indices via its per-lane ``sample_base``)
     before entering the wavefront, then folds the g per-group sums back
-    per pixel in ascending-k order.  Per-sample radiances are computed by
-    independent lanes from counter-based RNG streams keyed on
-    (pixel, sample), so the only effect is float summation order — and
-    none at all when g == n_spp (the common case; see _lane_groups).
+    per pixel in ascending-k order.  Per-sample radiances come from the
+    same counter-based RNG streams keyed on (pixel, sample), so the
+    sampled paths are identical; values shift only at float-scheduling
+    level (see _lane_groups).
     """
     n = pixel_id.shape[0]
     g = _lane_groups(n, n_spp, cfg)

@@ -49,6 +49,10 @@ def main():
     masks = os.environ.get("RT_SWEEP_MASKS", "sum4,sum2,mxu").split(",")
     placements = os.environ.get("RT_SWEEP_PLACEMENTS", "vmem,hbm").split(",")
     spp = int(os.environ.get("RT_SWEEP_SPP", 2))
+    bin_bits = [int(x) for x in os.environ.get(
+        "RT_SWEEP_BIN_BITS", "5").split(",")]
+    dir_bits = [int(x) for x in os.environ.get(
+        "RT_SWEEP_DIR_BITS", "0").split(",")]
 
     scene = presets.sponza_proxy(4_000 if smoke else 260_000)\
         .compile().device_put()
@@ -78,8 +82,11 @@ def main():
             scene.wide_packed.size * 4 + 2_000_000
         )
         for mm in masks:
-            for ps in psizes:
-                rt = Routing(packet_size=ps, mask_mode=mm, vmem_budget=vb)
+            for ps, mb, db in [
+                (p, m, d) for p in psizes for m in bin_bits for d in dir_bits
+            ]:
+                rt = Routing(packet_size=ps, mask_mode=mm, vmem_budget=vb,
+                             bin_bits=mb, bin_dir_bits=db)
                 cfg = base.replace(routing=rt)
                 try:
                     c, nr = one_tile(scene, rot, pos, fov, aspect, near,
@@ -100,13 +107,14 @@ def main():
                     nr = np.asarray(nr)
                     row = {
                         "packet": ps, "mask": mm, "placement": pl_,
+                        "bin": f"{mb}/{db}",
                         "mrays_sem": round(float(nr[0]) / dt / 1e6, 3),
                         "s": round(dt, 2),
                         "checksum": float(np.asarray(c)),
                     }
                 except Exception as e:  # noqa: BLE001
                     row = {"packet": ps, "mask": mm, "placement": pl_,
-                           "error": str(e)[:200]}
+                           "bin": f"{mb}/{db}", "error": str(e)[:200]}
                 rows.append(row)
                 print(json.dumps(row), flush=True)
 
