@@ -34,8 +34,11 @@ def run_tile(outdir: str) -> dict:
     from ray_tracer_tpu.utils.jitting import tpu_jit
 
     width, height, spp = 1920, 1080, int(os.environ.get("RT_BENCH_SPP", 2))
-    cfg = RenderConfig(width=width, height=height, bounce_limit=8,
-                       max_rays_per_batch=1 << 18)
+    cfg = RenderConfig(
+        width=width, height=height, bounce_limit=8,
+        max_rays_per_batch=1 << int(os.environ.get(
+            "RT_PROFILE_TILE_LOG2", 18)),
+    )
     scene = presets.sponza_proxy(260_000).compile().device_put()
     cam = scene_camera(scene)
     rot, pos, fov, aspect, near = _camera_arrays(cam, cfg)
