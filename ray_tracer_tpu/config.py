@@ -174,6 +174,12 @@ class RenderConfig:
     # memory pressure on the 16G v5e).  0 = auto (1 << 23); set to 1 to
     # disable expansion (lanes = pixels, the round-3 schedule).
     lane_pool: int = 0
+    # Multi-phase drain divisor (wavefront trace_wave): the live wavefront
+    # array shrinks by this factor whenever the alive count falls below
+    # the next width, bounding within-phase occupancy waste.  0 = auto
+    # (4, the measured default); 2 halves the waste bound at the cost of
+    # more bank/slice steps.
+    drain_div: int = 0
     # Compact bounce/NEE rays alive-first before traversal so dead lanes
     # cluster into trailing packets that exit at the BVH root (~1.3 us
     # each, measured).  Implemented as a stable two-bucket partition (one

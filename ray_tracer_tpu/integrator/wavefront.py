@@ -1208,9 +1208,17 @@ def _trace_wave_lanes(
     # key orders dead lanes last, so once the alive count fits in width/4
     # the sorted wavefront's live lanes form a PREFIX: bank the retired
     # suffix and keep while-looping on a statically 4x-narrower slice.
+    # Multi-phase drain: when the live population falls below the next
+    # width, dead lanes (sorted to the tail by the bin key) are banked
+    # and the whole wavefront ARRAY shrinks, so late sparse rounds stop
+    # paying full-width shading fusions and row-gathers.  The divisor
+    # bounds the within-phase occupancy waste (div 4 -> up to 4x);
+    # deaths only happen in shading, BEFORE the round's sort, so every
+    # live lane sits inside [:next_width] whenever the while exits.
+    div = cfg.drain_div if cfg.drain_div else 4
     widths = [n]
-    while widths[-1] % 4 == 0 and widths[-1] // 4 >= 8192:
-        widths.append(widths[-1] // 4)
+    while widths[-1] % div == 0 and widths[-1] // div >= 8192:
+        widths.append(widths[-1] // div)
 
     def slice_wave(w: Wave, m: int) -> Wave:
         f = lambda x: x[:m] if getattr(x, "ndim", 0) >= 1 else x

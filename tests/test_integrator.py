@@ -277,6 +277,33 @@ def test_binned_wavefront_bit_identical(cornell):
     assert np.array_equal(a, b)
 
 
+def test_drain_div_bit_identical(cornell):
+    """The multi-phase drain divisor is pure scheduling: div=2 banks
+    retired lanes in finer steps than div=4 but every lane's samples are
+    computed by the same per-lane state machine — images must match
+    bit-exactly (deaths happen in shading BEFORE the round's sort, so a
+    slice never cuts a live lane; see trace_wave widths comment)."""
+    import jax
+
+    from ray_tracer_tpu.api import _camera_arrays, scene_camera
+
+    cfg = RenderConfig(width=256, height=256)
+    cam = scene_camera(cornell)
+    rot, pos, fov, aspect, near = _camera_arrays(cam, cfg)
+    ids = jnp.arange(256 * 256, dtype=jnp.int32)
+
+    def run(div):
+        c = cfg.replace(drain_div=div)
+        return np.asarray(jax.jit(
+            lambda: wavefront.trace_wave(
+                cornell, rot, pos, fov, aspect, near, ids, jnp.int32(0),
+                jnp.int32(0), 2, c,
+            )
+        )())
+
+    assert np.array_equal(run(0), run(2))
+
+
 def test_lane_pool_spp_split_matches(cornell):
     """The spp-lane population mode samples the identical estimator.
 
