@@ -428,6 +428,24 @@ def _packet8_kernel(
         # The records fold through a register min-tree (strict < so the
         # EARLIEST record wins exact ties, matching the sequential-update
         # semantics of the gather-walk oracle) into ONE dst/prim update.
+        if anyhit:
+            # Occlusion-only: no winner to pick, so skip the min-tree and
+            # record-id bookkeeping entirely — OR the per-record "hit
+            # inside the lane's clip distance" masks (t >= clip and NaN
+            # padding both compare False) and mark occluded lanes -BIG,
+            # which also prunes them out of every subsequent node vote:
+            # lanes drop out at their FIRST hit instead of walking to the
+            # closest one.
+            clip = dst_ref[...]
+            occ = None
+            for k in range(max_recs):
+                trow = block[
+                    k // 8 : k // 8 + 1, 16 * (k % 8) : 16 * (k % 8 + 1)
+                ]
+                h = _tri_t(trow) < clip
+                occ = h if occ is None else (occ | h)
+            dst_ref[...] = jnp.where(occ, -BIG, clip)
+            return
         cands = []
         for k in range(max_recs):
             trow = block[k // 8 : k // 8 + 1, 16 * (k % 8) : 16 * (k % 8 + 1)]
@@ -446,13 +464,6 @@ def _packet8_kernel(
             cands = nxt
         tbest, kbest = cands[0]
         closer = tbest < dst_ref[...]
-        if anyhit:
-            # Occlusion-only: ANY hit inside the lane's clip distance marks
-            # the lane occluded (-BIG), which also prunes it out of every
-            # subsequent node vote — lanes drop out at their FIRST hit
-            # instead of walking to the closest one.
-            dst_ref[...] = jnp.where(closer, -BIG, dst_ref[...])
-            return
         dst_ref[...] = jnp.where(closer, tbest, dst_ref[...])
         prim_ref[...] = jnp.where(closer, kbest, prim_ref[...])
 
