@@ -95,6 +95,19 @@ class Routing:
     # 'packet' is also the capacity fallback for scenes beyond the
     # 128-super x 128-cluster two-level limit.
     cluster_enum: str = "packet"
+    # Multi-stack lane-group kernel (kernels/group.py): the packet splits
+    # into `groups` independent per-group pair stacks walked in lockstep,
+    # cutting the per-packet visit count ~3.5x on binned bounce rays at
+    # the price of a G-wide scalar pop/push tail per step.  Hardware A/B
+    # (tools/measure_group.py, hardened proxy): closest-hit bounce x2.0,
+    # primaries x1.25 at groups=16/groups_packet=4096; anyhit is neutral
+    # (early-exit already collapses the packet union), so shadow rays
+    # stay on the packet kernel.  0 = off (classic packet walk);
+    # requires fully VMEM-resident tables and <=8-record leaf slots.
+    groups: int = 0
+    # Packet size for the group route (the scalar tail amortizes over
+    # more lanes than the packet walk's knee: 4096 beats 2048 here).
+    groups_packet: int = 4096
     # Packet size for the 'packet' enumeration walk.  The enum tree is
     # tiny (a few hundred wide nodes), so a packet's node union is capped
     # by the tree itself and bigger packets amortize each visit over more
@@ -124,6 +137,8 @@ class Routing:
             cluster=os.environ.get("RT_CLUSTER", "auto"),
             cluster_k=int(os.environ.get("RT_CLUSTER_K", 16)),
             cluster_enum=os.environ.get("RT_CLUSTER_ENUM", "packet"),
+            groups=int(os.environ.get("RT_GROUPS", 0)),
+            groups_packet=int(os.environ.get("RT_GROUPS_PACKET", 4096)),
             cluster_enum_packet=int(
                 os.environ.get("RT_CLUSTER_ENUM_PACKET", 8192)
             ),

@@ -3,7 +3,7 @@
 The packet kernel (kernels/packet.py) amortizes ONE scalar traversal stack
 over the whole packet: every node visit slab-tests all lanes, so a packet
 descends the UNION of its lanes' want-sets.  On binned bounce rays the
-union is ~0.46 nodes/lane (tools/measure_union.py) while a single ray only
+union is ~0.43 nodes/lane (tools/measure_union.py) while a single ray only
 needs ~60 visits — mean lane utilization per visit is ~6%.  The GPU
 reference gets ~100% from per-thread private stacks
 (``shaders/raytrace.comp:300-349``), a shape the TPU cannot gather-walk
@@ -13,27 +13,32 @@ This kernel is the TPU-shaped middle ground: the packet's (SUB,128) lane
 block is split into G independent *groups* of whole sublane rows, each
 group walking its OWN traversal stack in SMEM.  Every loop step:
 
-* pops one code per group (G scalar SMEM reads),
+* pops the next node per group from a (parent, remaining-children-mask)
+  PAIR stack — one scalar word per stack entry, one push per visit and
+  one meta load per pop instead of up to eight of each (the naive
+  child-push tail measured 1560 ns of a 1947 ns step at G=16,
+  tools/measure_group_step.py),
 * gathers each group's node OR leaf row from a unified (W+L,128) VMEM
-  table by dynamic slice into a (SUB,128) plane (one row per group,
-  repeated ``group_sub`` times),
+  table by dynamic slice into a (SUB,128) plane (~5 ns),
 * computes BOTH interpretations of the plane — the 8-child slab test and
   the 8-record Moller-Trumbore test — as dense (SUB,128) vector work
-  (per-group constants enter as (SUB,1) column slices of the plane,
-  lane-broadcast by the VPU),
-* reduces per-group 8-bit descend masks with two lane-sum reductions and
-  reads them back as G/4 packed scalars,
-* pushes masked children per group (near-first by packet-majority sign).
+  (per-group constants enter as (SUB,1) column slices, lane-broadcast by
+  the VPU; ~215 + ~130 ns),
+* reduces per-group 9-bit {rev-flag, descend-mask} words with two
+  lane-sum reductions, packs two groups per scalar word (~40 ns),
+* pushes ONE pair per interior visit.
 
-One step therefore retires G visits for roughly the vector cost the
-packet kernel pays for one, trading it for G-way scalar stack machinery
-and the gather/broadcast forms.  Groups that finish early pop a dead code
-(row 0, mask forced 0) until all stacks drain.
+Near-first DFS order is preserved: the stored mask is pre-reversed when
+the packet-majority ray sign along the node's sort axis is negative (the
+flag bit remembers the slot mapping), so "lowest set bit" is always the
+nearest remaining child.  One step retires G visits; steps per packet =
+max over groups of the group's walk length (mean 251 vs 879 packet
+visits on binned bounce rays at G=16, tools/measure_group.py).
 
-Results are bit-identical to the packet kernel: each lane's visit set is
-a superset of its want-set either way, the accept tests are the same
-arithmetic, and the leaf min-tree breaks ties by earliest record id
-(order-independent), matching the gather-walk oracle.
+Results are bit-identical to the packet kernel except on exact-t ties of
+duplicated geometry, where a different visit order may report the other
+duplicate's id (dst always matches; ~1.8% of lanes on the hardened
+proxy's foliage).
 """
 
 from __future__ import annotations
@@ -46,25 +51,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 99999999.0
-# Per-group stack depth: builder max depth 64 (vk_engine.cpp:1215) x up to
-# 7 sibling pushes re-bounded as in packet.py; 512 i32 = 2KB SMEM per group.
-G_STACK = 512
+# Pair-stack depth per group: one (node, remaining-mask) word per tree
+# level, builder max depth 64 (vk_engine.cpp:1215) + margin.
+G_STACK = 96
 
 
-def _fold_layout(groups):
-    """Simulate the mask word fold (rows r -> r/2 with ``lo | hi << 8k``)
-    down to max(groups//4, 1) rows; returns {group: (word_row, shift)}."""
+def _fold_layout(groups, fields, field_shift):
+    """Simulate the mask word fold (rows r -> r/2 with ``lo | hi << s``)
+    down to max(groups//fields, 1) rows; returns {group: (row, shift)}."""
     layout = [[(g, 0)] for g in range(groups)]
-    shift = 8
+    shift = field_shift
     r = groups
-    while r > max(groups // 4, 1):
+    while r > max(groups // fields, 1):
         hi = layout[r // 2 : r]
         layout = [
             layout[i] + [(grp, sh + shift) for (grp, sh) in hi[i]]
             for i in range(r // 2)
         ]
         r //= 2
-        shift += 8
+        shift += field_shift
     out = {}
     for w, entries in enumerate(layout):
         for grp, sh in entries:
@@ -75,6 +80,7 @@ def _fold_layout(groups):
 def _group_kernel(
     uni_ref,  # (W+L,128) f32 unified node+leaf rows (leaf: +slot/flag pads)
     meta_ref,  # SMEM (W*12,) i32 codes[0:8]+axis[8]+pad
+    lut_ref,  # SMEM (512,) i32: (flag<<8|mask) -> next child slot
     ox_ref, oy_ref, oz_ref,
     dx_ref, dy_ref, dz_ref,
     tmax_ref,
@@ -112,9 +118,14 @@ def _group_kernel(
     neg_y = jnp.sum(jnp.where(dy < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dy.size)
     neg_z = jnp.sum(jnp.where(dz < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dz.size)
 
+    # Stack words: parent_code << 9 | rev_flag << 8 | remaining_mask8.
+    # mask == 0 means "visit `parent` itself" (the root-entry encoding).
     root = entry_ref[0, 0]
     for g in range(groups):
-        stack_ref[g * G_STACK] = root
+        stack_ref[g * G_STACK] = root << 9
+
+    layout = _fold_layout(groups, fields=2, field_shift=16)
+    nwords = max(groups // 2, 1)
 
     def cond(state):
         alive = state[0]
@@ -127,21 +138,35 @@ def _group_kernel(
         nsteps = state[groups]
         best = dst_ref[...]
 
-        # ---- pop one code per group; dead groups read row 0 (mask 0'd).
+        # ---- pop: extract this step's visit per group from the top pair.
         # Group g owns the STRIDED sublane rows {g, g+groups, ...} so the
         # mask fold's halving slices (rows i and i+r/2) always combine
         # rows of the SAME group.
-        codes = []
+        visits = []  # (child, alive, is_leaf)
         grows = []
         for g in range(groups):
-            alive_g = sps[g] > 0
-            idx = g * G_STACK + jnp.maximum(sps[g] - 1, 0)
-            code = jnp.where(alive_g, stack_ref[idx], 0)
-            sps[g] = sps[g] - jnp.where(alive_g, 1, 0)
-            is_leaf = code < 0
-            # leaf payload -(slot*16+cnt)-1 -> unified row W + slot
-            row_idx = jnp.where(is_leaf, w_nodes + (-code - 1) // 16, code)
-            codes.append((code, alive_g, is_leaf))
+            sp = sps[g]
+            alive_g = sp > 0
+            top = g * G_STACK + jnp.maximum(sp - 1, 0)
+            word = jnp.where(alive_g, stack_ref[top], 0)
+            mask = word & 0xFF
+            parent = word >> 9
+            # next child slot via the 512-entry LUT (index = flag<<8|mask;
+            # the LUT folds the lowest-set-bit search AND the near-first
+            # slot reversal); mask==0 maps to meta slot 9, which carries
+            # the node's OWN id, realizing the root-entry "visit parent
+            # directly" encoding branchless.
+            slot = lut_ref[word & 0x1FF]
+            child = meta_ref[parent * 12 + slot]
+            rem = mask & (mask - 1)
+            stack_ref[top] = word + rem - mask
+
+            popped = alive_g & (rem == 0)
+            sp = sp - jnp.where(popped, 1, 0)
+            is_leaf = child < 0
+            row_idx = jnp.where(is_leaf, w_nodes + (-child - 1) // 16, child)
+            visits.append((child, alive_g, is_leaf))
+            sps[g] = sp
             grows.append(uni_ref[pl.ds(row_idx, 1), :])
         rows = [grows[g] for _ in range(group_sub) for g in range(groups)]
         plane = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
@@ -172,8 +197,7 @@ def _group_kernel(
 
         # per-group any-lane per child: fold each group's sublane rows,
         # then ONE lane-sum per 4-bit half with 8-bit count fields
-        # (<=128 lanes/group after the fold), then pack 4 groups' 8-bit
-        # masks per word so only groups/4 scalar reads leave the VPU.
+        # (<=128 lanes/group after the fold).
         gp = packed
         r = gp.shape[0]
         while r > groups:
@@ -190,16 +214,34 @@ def _group_kernel(
                                  jnp.int32(1), 0) << k)
             m8 = m8 | (jnp.where(((s1 >> (8 * k)) & 0xFF) > 0,
                                  jnp.int32(1), 0) << (4 + k))
-        # fold groups' masks 4-per-word: rows g, g+G/2 -> g | (g+G/2)<<8,
-        # then g, g+G/4 -> | <<16: word row g holds masks of groups
-        # (g, g+G/4, g+G/2, g+3G/4) at bits 0/16/8/24.
-        mw = m8
+        # near-first bit order: reverse the mask when the packet-majority
+        # ray sign along the node's sort axis is negative (slots ascend
+        # along axis; near end = high slot), and set bit 8 so the pop side
+        # can invert the slot mapping.  All vectorized on (G,1).
+        axis_vec = col(7).astype(jnp.int32)
+        av = axis_vec
+        r = av.shape[0]
+        while r > groups:
+            av = av[: r // 2]
+            r //= 2
+        # i32 throughout: scalar-bool -> i1-vector selects trip Mosaic's
+        # truncation legalization ("Unsupported target bitwidth")
+        negi = (jnp.where(neg_x, 1, 0), jnp.where(neg_y, 1, 0),
+                jnp.where(neg_z, 1, 0))
+        neg_vec = jnp.where(
+            av == 0, negi[0], jnp.where(av == 1, negi[1], negi[2])
+        )
+        mrev = jnp.int32(0)
+        for k in range(8):
+            mrev = mrev | (((m8 >> k) & 1) << (7 - k))
+        m9 = jnp.where(neg_vec == 1, mrev | 256, m8)
+        # pack TWO groups' 9-bit words per i32 (16-bit fields)
+        mw = m9
         r = mw.shape[0]
-        shift = 8
-        while r > max(groups // 4, 1):
+        shift = 16
+        while r > nwords:
             mw = mw[: r // 2] | (mw[r // 2 :] << shift)
             r //= 2
-            shift += 8
 
         # ---- interpretation 2: dense MT over 8 records (garbage on
         # interior rows; masked by the stamped leaf flag at col 127)
@@ -234,36 +276,22 @@ def _group_kernel(
             dst_ref[...] = jnp.where(closer, tbest, best)
             prim_ref[...] = jnp.where(closer, kbest, prim_ref[...])
 
-        # ---- masked near-first pushes per group (scalar tail)
-        nwords = max(groups // 4, 1)
-        layout = _fold_layout(groups)
+        # ---- scalar tail: ONE pair push per interior visit.  The store
+        # is UNCONDITIONAL (slots >= sp are dead by invariant, so a
+        # suppressed push writes garbage to a dead slot); only the sp
+        # increment is masked — pl.when branches measured ~15 cycles each
+        # on the in-order scalar core.
         words = []
         for w in range(nwords):
             words.append(jnp.sum(mw[w : w + 1, 0:1]))
         for g in range(groups):
-            code, alive_g, is_leaf = codes[g]
+            child, alive_g, is_leaf = visits[g]
             wrow, wshift = layout[g]
-            mask = (words[wrow] >> wshift) & 0xFF
-            take = alive_g & (~is_leaf)
-            mask = jnp.where(take, mask, 0)
-            mbase = jnp.maximum(code, 0) * 12
-            axis = meta_ref[mbase + 8]
-            codes8 = [meta_ref[mbase + c] for c in range(8)]
-            neg = jnp.where(
-                axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z)
-            )
-            s = sps[g] + g * G_STACK
-            for c in range(8):
-                slot = jnp.where(neg, c, 7 - c)
-                bit = (mask >> slot) & 1
-                val = jnp.where(neg, codes8[c], codes8[7 - c])
-
-                @pl.when(bit == 1)
-                def _(s=s, val=val):
-                    stack_ref[s] = val
-
-                s = s + bit
-            sps[g] = s - g * G_STACK
+            m9_g = (words[wrow] >> wshift) & 0x1FF
+            take = alive_g & (~is_leaf) & ((m9_g & 0xFF) != 0)
+            s = sps[g]
+            stack_ref[g * G_STACK + s] = (child << 9) | m9_g
+            sps[g] = s + jnp.where(take, 1, 0)
         return tuple(sps) + (nsteps + 1,)
 
     state = tuple(jnp.int32(1) for _ in range(groups)) + (jnp.int32(0),)
@@ -293,6 +321,25 @@ def _mt_t(plane, k, ox, oy, oz, dx, dy, dz):
     ok = (t >= 0) & (u >= 0) & (v >= 0) & (w >= 0)
     ok = ok & ~((~front) & (c(12) > 0.5))
     return jnp.where(ok, t, BIG)
+
+
+@functools.lru_cache(maxsize=1)
+def _pop_lut():
+    """(flag<<8 | remaining_mask) -> next child slot.  flag=1 means the
+    mask bits were stored reversed (near end = high slot); mask==0 maps
+    to meta slot 9 (the node's own id — the direct-visit encoding)."""
+    import numpy as np
+
+    lut = np.zeros(512, np.int32)
+    for flag in (0, 1):
+        for mask in range(256):
+            if mask == 0:
+                slot = 9
+            else:
+                c = (mask & -mask).bit_length() - 1
+                slot = 7 - c if flag else c
+            lut[(flag << 8) | mask] = slot
+    return lut
 
 
 def stamp_leaf_rows(leaf_rows):
@@ -357,11 +404,17 @@ def group_traverse(
     uni = jnp.concatenate([nodes, stamp_leaf_rows(leaf_rows)], axis=0)
 
     codes_f = nodes[:, 6:70:8]
+    # meta slot 9 carries the node's own id: the pop LUT maps mask==0
+    # (the root-entry encoding) to slot 9, so "visit parent directly"
+    # needs no branch in the pop sequence.
+    own_ids = jnp.arange(w_nodes, dtype=nodes.dtype)[:, None]
     meta2 = jnp.concatenate(
-        [codes_f, nodes[:, 7:8], jnp.zeros((w_nodes, 3), nodes.dtype)],
+        [codes_f, nodes[:, 7:8], own_ids,
+         jnp.zeros((w_nodes, 2), nodes.dtype)],
         axis=1,
     )
     meta = jnp.nan_to_num(meta2, nan=0.0).astype(jnp.int32).reshape(-1)
+    lut = jnp.asarray(_pop_lut())
 
     row_spec = pl.BlockSpec(
         (sub, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -390,6 +443,7 @@ def group_traverse(
         in_specs=[
             full(uni),
             pl.BlockSpec(meta.shape, lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(lut.shape, lambda i: (0,), memory_space=pltpu.SMEM),
             row_spec, row_spec, row_spec,
             row_spec, row_spec, row_spec,
             row_spec,
@@ -399,7 +453,7 @@ def group_traverse(
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((G_STACK * groups,), jnp.int32)],
         interpret=interpret,
-    )(uni, meta, ox, oy, oz, dx, dy, dz, tmax, entry_arr)
+    )(uni, meta, lut, ox, oy, oz, dx, dy, dz, tmax, entry_arr)
     dst, prim = outs[0], outs[1]
     flat = lambda x: x.reshape(-1)[:n]
     if with_steps:

@@ -141,6 +141,25 @@ def _cluster_on(scene: CompiledScene, mode: str, routing: Routing) -> bool:
     return cluster_trace.use_cluster(scene, mode, routing)
 
 
+def _group_on(scene: CompiledScene, mode: str, routing: Routing) -> bool:
+    """Route closest-hit triangle traversal through the multi-stack
+    lane-group kernel (kernels/group.py)?  Needs the wide path with fully
+    VMEM-resident tables and single-row (<=8-record) leaf slots; anyhit
+    stays on the packet kernel (measured neutral — early exit already
+    collapses the packet union)."""
+    placement = mode.split(":")[1] if mode.startswith("interpret") else mode
+    return (
+        routing.groups > 0
+        and _use_wide(scene, mode, routing)
+        and not routing.two_phase
+        and not _cluster_on(scene, mode, routing)
+        and placement == "vmem"
+        and scene.meta.get(
+            "wide_leaf_recs", 4 if scene.max_leaf_tris <= 4 else 8
+        ) <= 8
+    )
+
+
 def _two_phase_wide(
     scene: CompiledScene,
     origin: jnp.ndarray,
@@ -421,6 +440,34 @@ def traverse(
                 need_uv=need_uv, fb_placement=placement,
             )
             # prim is already a GLOBAL triangle id (prim_space 'tri')
+        elif _group_on(scene, mode, routing):
+            from ..kernels import group
+
+            dst, prim = group.group_traverse(
+                scene.wide_packed,
+                scene.leaf_rows,
+                origin,
+                direction,
+                tmax0,
+                0,
+                interpret=interp,
+                packet_size=routing.groups_packet,
+                groups=routing.groups,
+                max_recs=scene.meta.get(
+                    "wide_leaf_recs", 4 if scene.max_leaf_tris <= 4 else 8
+                ),
+            )
+            if need_uv:
+                u, v, front = packet._reconstruct_uvfront(
+                    scene.leaf_rows, origin, direction, prim
+                )
+            else:
+                zero = jnp.zeros_like(dst)
+                u, v, front = zero, zero, jnp.zeros_like(prim >= 1)
+            if not raw:
+                prim = jnp.where(
+                    prim >= 0, scene.leaf_map[jnp.maximum(prim, 0)], prim
+                )
         elif _use_wide(scene, mode, routing) and _two_phase_ok(
             scene, mode, routing
         ):

@@ -84,6 +84,58 @@ def test_group_anyhit_matches_packet(rand):
     np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
 
 
+def test_group_route_matches_oracle(rand):
+    """Routing(groups>0) through ops.traverse vs the gather-walk oracle:
+    full Hit contract incl. u/v/front reconstruction and leaf_map
+    prim-space mapping."""
+    import jax.numpy as jnp
+    from ray_tracer_tpu.ops import traverse
+    from ray_tracer_tpu.config import Routing
+
+    sc = _mesh_scene(rand, n_tris=150)
+    n = 700
+    o, d = _rays(rand, n)
+    act = jnp.ones(n, bool)
+    ref = traverse.traverse(sc, o, d, act, routing=Routing(packet="off"))
+    got = traverse.traverse(
+        sc, o, d, act,
+        routing=Routing(packet="interpret", groups=8, groups_packet=1024),
+    )
+    m = np.asarray(ref.did_hit)
+    np.testing.assert_array_equal(m, np.asarray(got.did_hit))
+    np.testing.assert_allclose(
+        np.asarray(got.dst)[m], np.asarray(ref.dst)[m], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.prim)[m], np.asarray(ref.prim)[m]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.front)[m], np.asarray(ref.front)[m]
+    )
+
+
+def test_group_route_composes_with_sharded():
+    """render_frame_sharded with the group route == single-device image
+    (mirrors test_parallel's packet/cluster composition coverage)."""
+    import jax
+    import pytest
+    from ray_tracer_tpu.config import RenderConfig, Routing
+    from ray_tracer_tpu import render
+    from ray_tracer_tpu.parallel import mesh as pmesh
+    from ray_tracer_tpu.scene import presets
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    sc = presets.default_scene().compile()
+    rt = Routing(packet="interpret", groups=4, groups_packet=512)
+    cfg = RenderConfig(width=32, height=24, samples_per_pixel=2,
+                       bounce_limit=3, routing=rt)
+    m = pmesh.make_mesh(n_data=8, n_sample=1)
+    sharded = np.asarray(pmesh.render_frame_sharded(sc, cfg, m))
+    single = np.asarray(render(sc.device_put(), cfg))
+    np.testing.assert_allclose(sharded, single, atol=1e-6)
+
+
 def test_group_finite_clip_matches_packet(rand):
     sc = _mesh_scene(rand)
     recs = sc.meta.get("wide_leaf_recs", 8)

@@ -132,14 +132,23 @@ def main():
                                          jnp.int32(1), 0) << k)
                     m8 = m8 | (jnp.where(((s1 >> (8 * k)) & 0xFF) > 0,
                                          jnp.int32(1), 0) << (4 + k))
-                mw = m8
-                r = mw.shape[0]
-                shift = 8
-                while r > max(groups // 4, 1):
-                    mw = mw[: r // 2] | (mw[r // 2:] << shift)
+                # near-reorder + 9-bit fields, two groups per word (v2)
+                av = plane[:, 7:8].astype(jnp.int32)
+                r = av.shape[0]
+                while r > groups:
+                    av = av[: r // 2]
                     r //= 2
-                    shift += 8
-                for w in range(max(groups // 4, 1)):
+                neg_vec = jnp.where(av == 0, 1, jnp.where(av == 1, 0, 1))
+                mrev = jnp.int32(0)
+                for k in range(8):
+                    mrev = mrev | (((m8 >> k) & 1) << (7 - k))
+                m9v = jnp.where(neg_vec == 1, mrev | 256, m8)
+                mw = m9v
+                r = mw.shape[0]
+                while r > max(groups // 2, 1):
+                    mw = mw[: r // 2] | (mw[r // 2:] << 16)
+                    r //= 2
+                for w in range(max(groups // 2, 1)):
                     wordvals.append(jnp.sum(mw[w:w + 1, 0:1]))
             if do_mt:
                 cands = None
@@ -151,34 +160,38 @@ def main():
                 out_ref[0:sub, :] = out_ref[0:sub, :] + 0.0 * acc.astype(
                     jnp.float32)
 
-            # push tail: mask from meta validity (+ measured mask bits)
-            layout = kgroup._fold_layout(groups)
+            # pair-stack tail (mirrors kernels/group.py v2): decode the
+            # popped pair, one meta load, one writeback, one push
+            layout = kgroup._fold_layout(groups, fields=2, field_shift=16)
             nseed = seed
             for g in range(groups):
-                code = codes[g]
+                word = (codes[g] << 9) | ((seed + g) & 0x1FF)
+                mask = word & 0xFF
+                parent = word >> 9
+                flag = (word >> 8) & 1
+                low = mask & (-mask)
+                c = jnp.where((low & 0xF0) != 0, jnp.int32(4), 0)
+                c = c + jnp.where(((low >> c) & 0xC) != 0, jnp.int32(2), 0)
+                c = c + jnp.where(((low >> c) & 0x2) != 0, jnp.int32(1), 0)
+                slot = jnp.where(flag == 1, 7 - c, c)
+                child = meta_ref[parent * 12 + slot]
+                rem = mask ^ low
+                stack_ref[g * kgroup.G_STACK] = (
+                    (parent << 9) | (flag << 8) | rem
+                )
                 if do_mask:
                     wrow, wshift = layout[g]
-                    mask = (wordvals[wrow] >> wshift) & 0xFF
+                    m9 = (wordvals[wrow] >> wshift) & 0x1FF
                 else:
-                    mask = jnp.int32(0)
-                mbase = code * 12
-                codes8 = [meta_ref[mbase + c] for c in range(8)]
-                valid = jnp.int32(0)
-                for c in range(8):
-                    valid = valid | (jnp.where(codes8[c] != 0,
-                                               jnp.int32(1), 0) << c)
-                mask = mask | valid
-                s = jnp.int32(g * kgroup.G_STACK)
-                for c in range(8):
-                    bit = (mask >> c) & 1
-                    val = codes8[c]
+                    m9 = jnp.int32(seed & 0x1FF)
+                take = (m9 & 0xFF) != 0
 
-                    @pl.when(bit == 1)
-                    def _(s=s, val=val):
-                        stack_ref[s] = val
+                @pl.when(take)
+                def _(g=g, child=child, m9=m9):
+                    stack_ref[g * kgroup.G_STACK + 1] = (
+                        jnp.maximum(child, 0) << 9) | m9
 
-                    s = s + bit
-                nseed = nseed + (s - g * kgroup.G_STACK)
+                nseed = nseed + slot + rem
             return nseed % 65536
 
         seed = jax.lax.fori_loop(0, steps, body, jnp.int32(1))
@@ -204,9 +217,11 @@ def main():
                                        jnp.int32)],
             interpret=interp,
         )
+        from ray_tracer_tpu.utils.jitting import tpu_jit
         args = (uni, meta, o[:, :, 0], o[:, :, 1], o[:, :, 2],
                 d[:, :, 0], d[:, :, 1], d[:, :, 2])
-        fj = jax.jit(lambda args=args, f=f: f(*args))
+        fj = tpu_jit(lambda *a, f=f: f(*a))
+        fj = functools.partial(fj, *args)
         try:
             out = fj()
             np.asarray(out.ravel()[0])
