@@ -63,6 +63,8 @@ def main() -> None:
         if ":" in scene_name:
             n_target = int(scene_name.split(":")[1])
         scene = presets.sponza_proxy(n_target).compile().device_put()
+    elif scene_name == "cornell":
+        scene = presets.default_scene().compile().device_put()
     else:
         # klein_bottle.obj spans y in [-8.4, 0]: scale 0.15 fits the box
         # with the base on the floor and the light quad unoccluded.

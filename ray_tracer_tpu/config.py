@@ -42,7 +42,10 @@ class Routing:
     vmem_budget: int = 48_000_000
     # Coherence-binning key widths (integrator): morton bits per origin
     # axis, and extra |direction| bits inside the octant.
-    bin_bits: int = 5
+    # 6 measured +2% over 5 on the official bench at the group route's
+    # 256-lane coherence unit (r4; 5 vs 6 was noise-level at the packet
+    # route's 2048-lane unit).
+    bin_bits: int = 6
     bin_dir_bits: int = 0
     # Two-phase treelet traversal (round 3): a TOP packet walk emits
     # per-lane treelet entries, pairs are sorted by entry and traversed by
@@ -104,7 +107,10 @@ class Routing:
     # (early-exit already collapses the packet union), so shadow rays
     # stay on the packet kernel.  0 = off (classic packet walk);
     # requires fully VMEM-resident tables and <=8-record leaf slots.
-    groups: int = 0
+    # DEFAULT ON (round-4 scene sweep: proxy +32%, klein +13%, bunny and
+    # cornell neutral within noise) — ops/traverse._group_on degrades to
+    # the packet walk wherever the prerequisites fail.
+    groups: int = 16
     # Packet size for the group route (the scalar tail amortizes over
     # more lanes than the packet walk's knee: 4096 beats 2048 here).
     groups_packet: int = 4096
@@ -128,7 +134,7 @@ class Routing:
             vmem_budget=int(
                 os.environ.get("RT_PACKET_VMEM_BUDGET", 48_000_000)
             ),
-            bin_bits=int(os.environ.get("RT_BIN_BITS", 5)),
+            bin_bits=int(os.environ.get("RT_BIN_BITS", 6)),
             bin_dir_bits=int(os.environ.get("RT_BIN_DIR_BITS", 0)),
             two_phase=os.environ.get("RT_TWO_PHASE", "0") != "0",
             top_k=int(os.environ.get("RT_TOP_K", 5)),
@@ -137,7 +143,7 @@ class Routing:
             cluster=os.environ.get("RT_CLUSTER", "auto"),
             cluster_k=int(os.environ.get("RT_CLUSTER_K", 16)),
             cluster_enum=os.environ.get("RT_CLUSTER_ENUM", "packet"),
-            groups=int(os.environ.get("RT_GROUPS", 0)),
+            groups=int(os.environ.get("RT_GROUPS", 16)),
             groups_packet=int(os.environ.get("RT_GROUPS_PACKET", 4096)),
             cluster_enum_packet=int(
                 os.environ.get("RT_CLUSTER_ENUM_PACKET", 8192)

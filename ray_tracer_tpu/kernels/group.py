@@ -142,32 +142,47 @@ def _group_kernel(
         # Group g owns the STRIDED sublane rows {g, g+groups, ...} so the
         # mask fold's halving slices (rows i and i+r/2) always combine
         # rows of the SAME group.
-        visits = []  # (child, alive, is_leaf)
-        grows = []
+        # Phase-by-phase across groups (not group-by-group): the scalar
+        # core is in-order single-issue, so a group's dependent SMEM
+        # chain (stack -> LUT -> meta) stalls ~6 cycles at each USE.
+        # Issuing all G loads of a phase back-to-back hides each load's
+        # latency under the other groups' loads.
+        tops, words, alives = [], [], []
         for g in range(groups):
             sp = sps[g]
-            alive_g = sp > 0
-            top = g * G_STACK + jnp.maximum(sp - 1, 0)
-            word = jnp.where(alive_g, stack_ref[top], 0)
+            alives.append(sp > 0)
+            tops.append(g * G_STACK + jnp.maximum(sp - 1, 0))
+        for g in range(groups):
+            words.append(
+                jnp.where(alives[g], stack_ref[tops[g]], 0)
+            )
+        # next child slot via the 512-entry LUT (index = flag<<8|mask;
+        # the LUT folds the lowest-set-bit search AND the near-first
+        # slot reversal); mask==0 maps to meta slot 9, which carries
+        # the node's OWN id, realizing the root-entry "visit parent
+        # directly" encoding branchless.
+        slots = [lut_ref[words[g] & 0x1FF] for g in range(groups)]
+        childs = [
+            meta_ref[(words[g] >> 9) * 12 + slots[g]] for g in range(groups)
+        ]
+        visits = []  # (child, alive, is_leaf)
+        grows = []
+        row_idxs = []
+        for g in range(groups):
+            word = words[g]
             mask = word & 0xFF
-            parent = word >> 9
-            # next child slot via the 512-entry LUT (index = flag<<8|mask;
-            # the LUT folds the lowest-set-bit search AND the near-first
-            # slot reversal); mask==0 maps to meta slot 9, which carries
-            # the node's OWN id, realizing the root-entry "visit parent
-            # directly" encoding branchless.
-            slot = lut_ref[word & 0x1FF]
-            child = meta_ref[parent * 12 + slot]
+            child = childs[g]
             rem = mask & (mask - 1)
-            stack_ref[top] = word + rem - mask
-
-            popped = alive_g & (rem == 0)
-            sp = sp - jnp.where(popped, 1, 0)
+            stack_ref[tops[g]] = word + rem - mask
+            popped = alives[g] & (rem == 0)
+            sps[g] = sps[g] - jnp.where(popped, 1, 0)
             is_leaf = child < 0
-            row_idx = jnp.where(is_leaf, w_nodes + (-child - 1) // 16, child)
-            visits.append((child, alive_g, is_leaf))
-            sps[g] = sp
-            grows.append(uni_ref[pl.ds(row_idx, 1), :])
+            row_idxs.append(
+                jnp.where(is_leaf, w_nodes + (-child - 1) // 16, child)
+            )
+            visits.append((child, alives[g], is_leaf))
+        for g in range(groups):
+            grows.append(uni_ref[pl.ds(row_idxs[g], 1), :])
         rows = [grows[g] for _ in range(group_sub) for g in range(groups)]
         plane = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
 

@@ -41,7 +41,7 @@ def _textured_scene():
     return presets.dread_demo()
 
 
-@pytest.mark.parametrize("packet_mode", ["off", "interpret"])
+@pytest.mark.parametrize("packet_mode", ["off", "packet", "group"])
 @pytest.mark.parametrize(
     "name,builder",
     [
@@ -57,7 +57,12 @@ def test_golden(name, builder, packet_mode):
     if not os.path.exists(path) and name in ("bunny_mesh", "dread_textured"):
         pytest.skip("reference assets unavailable when golden was made")
     golden = np.load(path).astype(np.float32)
-    cfg = CFG.replace(routing=Routing(packet=packet_mode))
+    rt = {
+        "off": Routing(packet="off"),
+        "packet": Routing(packet="interpret", groups=0),
+        "group": Routing(packet="interpret", groups=4, groups_packet=512),
+    }[packet_mode]
+    cfg = CFG.replace(routing=rt)
     img = np.asarray(render(builder().compile().device_put(), cfg))
     # float16 quantization of the golden + cross-backend FMA noise
     np.testing.assert_allclose(img, golden, atol=2e-3)

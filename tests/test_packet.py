@@ -11,7 +11,7 @@ from ray_tracer_tpu.config import Routing
 from ray_tracer_tpu.ops import traverse
 
 OFF = Routing(packet="off")
-INTERP = Routing(packet="interpret")
+INTERP = Routing(packet="interpret", groups=0)  # pin the packet kernel (groups defaults on)
 from ray_tracer_tpu.scene import presets
 from ray_tracer_tpu.scene.builder import SceneBuilder
 from ray_tracer_tpu.scene.types import Material

@@ -70,7 +70,7 @@ def test_data_parallel_fused_mask(cornell):
     composes with shard_map the same as the default packet route."""
     from ray_tracer_tpu.config import Routing
 
-    cfg = CFG.replace(routing=Routing(packet="interpret", mask_mode="fused4"))
+    cfg = CFG.replace(routing=Routing(packet="interpret", mask_mode="fused4", groups=0))
     m = pmesh.make_mesh(n_data=8, n_sample=1)
     sharded = np.asarray(pmesh.render_frame_sharded(cornell, cfg, m))
     single = np.asarray(render(cornell.device_put(), CFG))
