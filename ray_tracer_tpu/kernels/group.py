@@ -118,11 +118,18 @@ def _group_kernel(
     neg_y = jnp.sum(jnp.where(dy < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dy.size)
     neg_z = jnp.sum(jnp.where(dz < 0, 1.0, 0.0)) * 2.0 > jnp.float32(dz.size)
 
-    # Stack words: parent_code << 9 | rev_flag << 8 | remaining_mask8.
+    # Stack words: parent_row << 9 | rev_flag << 8 | remaining_mask8.
     # mask == 0 means "visit `parent` itself" (the root-entry encoding).
+    # Slot 0 of each group's region is a PERMANENT 0-word sentinel: a dead
+    # group (sp == 0) pops it, decodes to "visit node 0 directly"
+    # (interior row -> leaf_flag 0 -> no dst write; pushes are
+    # alive-masked), and its writeback rewrites 0 — so the pop side needs
+    # neither a max(sp-1, 0) clamp nor an alive-select on the load.
+    # Entries live at slots [1..sp]; top = base + sp.
     root = entry_ref[0, 0]
     for g in range(groups):
-        stack_ref[g * G_STACK] = root << 9
+        stack_ref[g * G_STACK] = jnp.int32(0)
+        stack_ref[g * G_STACK + 1] = root << 9
 
     layout = _fold_layout(groups, fields=2, field_shift=16)
     nwords = max(groups // 2, 1)
@@ -151,21 +158,22 @@ def _group_kernel(
         for g in range(groups):
             sp = sps[g]
             alives.append(sp > 0)
-            tops.append(g * G_STACK + jnp.maximum(sp - 1, 0))
+            tops.append(g * G_STACK + sp)
         for g in range(groups):
-            words.append(
-                jnp.where(alives[g], stack_ref[tops[g]], 0)
-            )
+            words.append(stack_ref[tops[g]])
         # next child slot via the 512-entry LUT (index = flag<<8|mask;
         # the LUT folds the lowest-set-bit search AND the near-first
         # slot reversal); mask==0 maps to meta slot 9, which carries
-        # the node's OWN id, realizing the root-entry "visit parent
+        # the node's OWN row, realizing the root-entry "visit parent
         # directly" encoding branchless.
         slots = [lut_ref[words[g] & 0x1FF] for g in range(groups)]
+        # meta stores the child's SIGNED unified-table row: interior ->
+        # its node row (== node id); leaf -> -(unified leaf row) - 1.
+        # One load yields row + is_leaf with no leaf-code arithmetic.
         childs = [
             meta_ref[(words[g] >> 9) * 12 + slots[g]] for g in range(groups)
         ]
-        visits = []  # (child, alive, is_leaf)
+        visits = []  # (child_row, alive, is_leaf)
         grows = []
         row_idxs = []
         for g in range(groups):
@@ -177,9 +185,7 @@ def _group_kernel(
             popped = alives[g] & (rem == 0)
             sps[g] = sps[g] - jnp.where(popped, 1, 0)
             is_leaf = child < 0
-            row_idxs.append(
-                jnp.where(is_leaf, w_nodes + (-child - 1) // 16, child)
-            )
+            row_idxs.append(jnp.where(is_leaf, -child - 1, child))
             visits.append((child, alives[g], is_leaf))
         for g in range(groups):
             grows.append(uni_ref[pl.ds(row_idxs[g], 1), :])
@@ -305,7 +311,7 @@ def _group_kernel(
             m9_g = (words[wrow] >> wshift) & 0x1FF
             take = alive_g & (~is_leaf) & ((m9_g & 0xFF) != 0)
             s = sps[g]
-            stack_ref[g * G_STACK + s] = (child << 9) | m9_g
+            stack_ref[g * G_STACK + 1 + s] = (child << 9) | m9_g
             sps[g] = s + jnp.where(take, 1, 0)
         return tuple(sps) + (nsteps + 1,)
 
@@ -419,7 +425,7 @@ def group_traverse(
     uni = jnp.concatenate([nodes, stamp_leaf_rows(leaf_rows)], axis=0)
 
     codes_f = nodes[:, 6:70:8]
-    # meta slot 9 carries the node's own id: the pop LUT maps mask==0
+    # meta slot 9 carries the node's own row: the pop LUT maps mask==0
     # (the root-entry encoding) to slot 9, so "visit parent directly"
     # needs no branch in the pop sequence.
     own_ids = jnp.arange(w_nodes, dtype=nodes.dtype)[:, None]
@@ -428,7 +434,16 @@ def group_traverse(
          jnp.zeros((w_nodes, 2), nodes.dtype)],
         axis=1,
     )
-    meta = jnp.nan_to_num(meta2, nan=0.0).astype(jnp.int32).reshape(-1)
+    meta = jnp.nan_to_num(meta2, nan=0.0).astype(jnp.int32)
+    # child slots store the SIGNED unified-table row (interior: node row
+    # == node id; leaf: -(w_nodes + leaf_slot_row) - 1) so the kernel's
+    # pop decodes row + is_leaf from one load with no code arithmetic.
+    child_cols = meta[:, 0:8]
+    leaf_rows_idx = w_nodes + (-child_cols - 1) // 16
+    meta = meta.at[:, 0:8].set(
+        jnp.where(child_cols >= 0, child_cols, -leaf_rows_idx - 1)
+    )
+    meta = meta.reshape(-1)
     lut = jnp.asarray(_pop_lut())
 
     row_spec = pl.BlockSpec(
