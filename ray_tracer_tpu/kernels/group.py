@@ -52,8 +52,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 BIG = 99999999.0
 # Pair-stack depth per group: one (node, remaining-mask) word per tree
-# level, builder max depth 64 (vk_engine.cpp:1215) + margin.
+# level, builder max depth 64 (vk_engine.cpp:1215) + margin.  Slot 0 of
+# each group's region is a permanent sentinel (load-bearing for
+# dead-group pops), and entries live at [1..sp] with an unconditional
+# push store at base+1+sp — so the usable depth budget is G_STACK - 2
+# (= 94): at sp == G_STACK - 1 the push store would overwrite the NEXT
+# group's slot-0 sentinel (or run past the scratch buffer for the last
+# group).  Asserted against the builder's max depth below.
 G_STACK = 96
+_BUILDER_MAX_DEPTH = 64  # scene/builder.py depth cap (vk_engine.cpp:1215)
+assert _BUILDER_MAX_DEPTH + 2 <= G_STACK - 2, "group stack depth budget"
 
 
 def _fold_layout(groups, fields, field_shift):
@@ -87,7 +95,6 @@ def _group_kernel(
     entry_ref,  # (1,1) i32 SMEM
     dst_ref, prim_ref,
     *rest,
-    w_nodes: int = 0,
     groups: int = 16,
     sub: int = 16,
     max_recs: int = 8,
@@ -460,7 +467,6 @@ def group_traverse(
         out_shape.append(jax.ShapeDtypeStruct((gcnt * sub, 128), jnp.int32))
     kernel = functools.partial(
         _group_kernel,
-        w_nodes=w_nodes,
         groups=groups,
         sub=sub,
         max_recs=max_recs,
