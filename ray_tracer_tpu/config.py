@@ -114,6 +114,25 @@ class Routing:
     # Packet size for the group route (the scalar tail amortizes over
     # more lanes than the packet walk's knee: 4096 beats 2048 here).
     groups_packet: int = 4096
+    # Pre-permute NEE (anyhit modes, round 5): the shadow query + MIS
+    # ``direct`` resolve run BEFORE the round's coherence permute, so the
+    # 12 NEE columns (nee_origin, l_dir, nee_k, cos_pdf, l_dist,
+    # nee_active, li, ...) stop riding the main state permute — the
+    # packed row-gather shrinks from (N,36)f32+(N,6)i32 to
+    # (N,20)f32+(N,5)i32.  Modes:
+    #   "off"    round-4 behavior: NEE columns ride the main permute and
+    #            the shadow query runs post-permute on the bounce key.
+    #   "sort"   shadow rays get their OWN (active-first, shadow-octant,
+    #            origin cell) argsort before the anyhit query.  Measured
+    #            -16% on the official bench (4.0 vs 4.79, r5): the extra
+    #            argsort + inverse scatter costs more than the slim
+    #            permute saves.
+    #   "nosort" shadow query runs pre-permute in main-wave order (the
+    #            lanes still carry the PREVIOUS round's bounce-key
+    #            coherence); only the slim main permute is kept.
+    # Images are bit-identical across modes (per-lane results are
+    # permutation-invariant; every resolve op is elementwise).
+    nee_prebin: str = "off"
     # Packet size for the 'packet' enumeration walk.  The enum tree is
     # tiny (a few hundred wide nodes), so a packet's node union is capped
     # by the tree itself and bigger packets amortize each visit over more
@@ -145,6 +164,7 @@ class Routing:
             cluster_enum=os.environ.get("RT_CLUSTER_ENUM", "packet"),
             groups=int(os.environ.get("RT_GROUPS", 16)),
             groups_packet=int(os.environ.get("RT_GROUPS_PACKET", 4096)),
+            nee_prebin=os.environ.get("RT_NEE_PREBIN", "off"),
             cluster_enum_packet=int(
                 os.environ.get("RT_CLUSTER_ENUM_PACKET", 8192)
             ),

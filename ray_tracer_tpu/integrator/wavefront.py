@@ -693,6 +693,25 @@ def trace(
     return color
 
 
+def _resolve_direct(real_l_pdf, n_lights_w, cos_pdf_at_l, l_emit, nee_k,
+                    is_diff, fresh_direct, direct_base):
+    """MIS light-sample resolve -> next round's pending ``direct``.
+
+    The power-heuristic light-side weight and the 0/1-NEE delta sentinel
+    (raytrace.comp:449-456,500-505); shared by the pre-permute (anyhit)
+    and post-traversal (closest-hit) resolve paths, which differ only in
+    where ``real_l_pdf`` comes from.
+    """
+    real_l_pdf = real_l_pdf / n_lights_w
+    w1 = real_l_pdf**2 / (real_l_pdf**2 + cos_pdf_at_l**2)
+    w1 = jnp.where(jnp.isnan(w1), 0.0, w1)
+    direct_diff = l_emit * nee_k * jnp.where(
+        real_l_pdf == 0.0, 0.0, w1 / real_l_pdf
+    )[:, None]
+    new_direct = jnp.where(is_diff[:, None], direct_diff, -1.0)
+    return jnp.where(fresh_direct[:, None], new_direct, direct_base)
+
+
 def _bin_key(scene: CompiledScene, origin, direction, alive, mb=5, db=0):
     """Traversal-coherence sort key: (direction octant [+ optional finer
     direction bits], origin morton cell).
@@ -1070,6 +1089,56 @@ def _trace_wave_lanes(
         direct_base = jnp.where(path_ends[:, None], 0.0, w.direct)
         pix, slot, s_cur, j_cur, sb_cur = w.pix, w.slot, s_new, j_new, w.sb
 
+        # ---- pre-permute NEE (round 5, Routing.nee_prebin): the anyhit
+        # shadow query + MIS resolve run HERE, before the round's state
+        # permute — "sort" additionally bins the shadow rays by their OWN
+        # key (active-first, shadow-direction octant; measured -16% on
+        # the official bench, the argsort+scatter outweighs the slim
+        # pack), "nosort" keeps main-wave order (previous round's bounce
+        # coherence).  ``direct`` is then fully resolved and rides the
+        # main permute as 3 columns, dropping the 12 NEE columns from the
+        # packed row-gather.  Bit-identical: per-lane traversal results
+        # are permutation-invariant and every op here is elementwise.
+        prebin = bool(cfg.nee_anyhit) and rt.nee_prebin != "off"
+        if prebin:
+            if scene.n_lights == 0:
+                # NEE can never contribute (see the non-prebin branch
+                # below); the resolve still runs so ``direct`` carries
+                # the 0-vs-(-1) delta sentinel pattern.
+                l_emit = jnp.zeros_like(nee_k)
+                real_l_pdf = jnp.zeros_like(l_dist)
+            else:
+                clip = l_dist * (1.0 - 1e-3)
+                if do_bin and rt.nee_prebin == "sort":
+                    key2 = _bin_key(
+                        scene, nee_origin, l_dir, nee_active,
+                        rt.bin_bits, rt.bin_dir_bits,
+                    )
+                    order2 = jnp.argsort(key2)
+                    occ_b = traverse.traverse_anyhit(
+                        scene, nee_origin[order2], l_dir[order2],
+                        nee_active[order2], tmax=clip[order2], routing=rt,
+                    )
+                    occluded = jnp.zeros_like(occ_b).at[order2].set(
+                        occ_b, unique_indices=True
+                    )
+                else:
+                    occluded = traverse.traverse_anyhit(
+                        scene, nee_origin, l_dir, nee_active, tmax=clip,
+                        routing=rt,
+                    )
+                reached = nee_active & ~occluded
+                l_emit = lights.rect_light_emission(scene, li)
+                real_l_pdf = jnp.where(
+                    reached,
+                    lights.rect_light_pdf_analytic(scene, li, l_dir, l_dist),
+                    0.0,
+                )
+            direct = _resolve_direct(
+                real_l_pdf, n_lights_w, cos_pdf_at_l, l_emit, nee_k,
+                is_diff, fresh_direct, direct_base,
+            )
+
         if do_bin:
             # ---- coherence binning: permute every live per-lane value so
             # traversal packets share (octant, origin cell).  One packed
@@ -1085,34 +1154,56 @@ def _trace_wave_lanes(
             )
             order = jnp.argsort(key)
             fi = lambda x: x.astype(jnp.float32)[:, None]
-            packed = jnp.concatenate(
-                [
-                    new_origin, new_dir, atten, total, acc, direct_base,
-                    nee_origin, l_dir, nee_k,  # 27 vector slots
-                    fi(alive), fi(bad),
-                    fi(fresh_direct), fi(is_diff),
-                    cos_pdf_at_l[:, None], l_dist[:, None],
-                    fi(nee_active),
-                ],
-                axis=1,
-            )[order]
-            packed_i = jnp.stack(
-                [j_cur, s_cur, pix, slot, li, sb_cur], axis=1
-            )[order]
-            v3 = lambda k: packed[:, 3 * k : 3 * k + 3]
-            (new_origin, new_dir, atten, total, acc, direct_base,
-             nee_origin, l_dir, nee_k) = (v3(k) for k in range(9))
-            col = lambda k: packed[:, 27 + k]
-            alive = col(0) > 0.5
-            bad = col(1) > 0.5
-            fresh_direct = col(2) > 0.5
-            is_diff = col(3) > 0.5
-            cos_pdf_at_l = col(4)
-            l_dist = col(5)
-            nee_active = col(6) > 0.5
-            j_cur, s_cur, pix, slot, li, sb_cur = (
-                packed_i[:, k] for k in range(6)
-            )
+            if prebin:
+                # slim pack: NEE already resolved into ``direct`` above
+                packed = jnp.concatenate(
+                    [
+                        new_origin, new_dir, atten, total, acc, direct,
+                        fi(alive), fi(bad),
+                    ],
+                    axis=1,
+                )[order]
+                packed_i = jnp.stack(
+                    [j_cur, s_cur, pix, slot, sb_cur], axis=1
+                )[order]
+                v3 = lambda k: packed[:, 3 * k : 3 * k + 3]
+                (new_origin, new_dir, atten, total, acc, direct) = (
+                    v3(k) for k in range(6)
+                )
+                alive = packed[:, 18] > 0.5
+                bad = packed[:, 19] > 0.5
+                j_cur, s_cur, pix, slot, sb_cur = (
+                    packed_i[:, k] for k in range(5)
+                )
+            else:
+                packed = jnp.concatenate(
+                    [
+                        new_origin, new_dir, atten, total, acc, direct_base,
+                        nee_origin, l_dir, nee_k,  # 27 vector slots
+                        fi(alive), fi(bad),
+                        fi(fresh_direct), fi(is_diff),
+                        cos_pdf_at_l[:, None], l_dist[:, None],
+                        fi(nee_active),
+                    ],
+                    axis=1,
+                )[order]
+                packed_i = jnp.stack(
+                    [j_cur, s_cur, pix, slot, li, sb_cur], axis=1
+                )[order]
+                v3 = lambda k: packed[:, 3 * k : 3 * k + 3]
+                (new_origin, new_dir, atten, total, acc, direct_base,
+                 nee_origin, l_dir, nee_k) = (v3(k) for k in range(9))
+                col = lambda k: packed[:, 27 + k]
+                alive = col(0) > 0.5
+                bad = col(1) > 0.5
+                fresh_direct = col(2) > 0.5
+                is_diff = col(3) > 0.5
+                cos_pdf_at_l = col(4)
+                l_dist = col(5)
+                nee_active = col(6) > 0.5
+                j_cur, s_cur, pix, slot, li, sb_cur = (
+                    packed_i[:, k] for k in range(6)
+                )
 
         # ---- traverse the merged wavefront (bounce ++ regenerated primary)
         hit_next = traverse.traverse(
@@ -1121,7 +1212,9 @@ def _trace_wave_lanes(
             )
 
         # ---- NEE shadow query for continuing diffuse lanes
-        if cfg.nee_anyhit and scene.n_lights == 0:
+        if prebin:
+            pass  # resolved into ``direct`` before the permute
+        elif cfg.nee_anyhit and scene.n_lights == 0:
             nee_active = jnp.zeros_like(nee_active)
             l_emit = jnp.zeros_like(nee_k)
             real_l_pdf = jnp.zeros_like(l_dist)
@@ -1165,14 +1258,11 @@ def _trace_wave_lanes(
                 scene, li, l_dir, nee_hit.dst, hit_emissive
             )
 
-        real_l_pdf = real_l_pdf / n_lights_w
-        w1 = real_l_pdf**2 / (real_l_pdf**2 + cos_pdf_at_l**2)
-        w1 = jnp.where(jnp.isnan(w1), 0.0, w1)
-        direct_diff = l_emit * nee_k * jnp.where(
-            real_l_pdf == 0.0, 0.0, w1 / real_l_pdf
-        )[:, None]
-        new_direct = jnp.where(is_diff[:, None], direct_diff, -1.0)
-        direct = jnp.where(fresh_direct[:, None], new_direct, direct_base)
+        if not prebin:
+            direct = _resolve_direct(
+                real_l_pdf, n_lights_w, cos_pdf_at_l, l_emit, nee_k,
+                is_diff, fresh_direct, direct_base,
+            )
 
         n_alive = jnp.sum(alive.astype(jnp.float32))
         n_rays = w.n_rays + jnp.stack(

@@ -16,6 +16,13 @@ not natively provide.  Two candidate gather mechanisms:
 * vpu: 128-way select tree.  mask_r = (idx==r) once per r, then per
   field an FMA accumulate of mask_r * page[r,f].  Pure VPU, no layout
   games, cost ~ (128 + F*128) full-width ops per step.
+* dg: Mosaic dynamic gather (round-5 discovery: jnp.take_along_axis
+  legalizes along BOTH the lane and sublane dims on this toolchain, see
+  tools/probe_lane_gather*.py).  Page field f broadcast as an (8,128)
+  vreg (nodes in lanes); take_along_axis(axis=1) with the per-lane idx
+  fetches field f for all 1024 lanes in ONE op.  F ops per step for a
+  128-node page; 2F + selects for 1024-node pages (lane gather + sublane
+  gather compose).
 
 This probe times BOTH on a synthetic 128-node page walked S steps by
 8*128 = 1024 lanes (and 16*128 = 2048), prints ns per lane-step, and
@@ -72,9 +79,12 @@ def main():
             for s in range(sub):
                 sel = idx[s : s + 1, :]  # (1,128)
                 oh = (iota == sel).astype(jnp.float32)  # (128,128)
+                # HIGHEST: the default bf16 MXU passes truncate the
+                # gathered f32 payload (caught on real HW round 5)
                 r = jax.lax.dot_general(
                     pageT_ref[...], oh, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )  # (F,128)
                 rows.append(r)
             fields = []
@@ -93,7 +103,16 @@ def main():
                     accs[f] = accs[f] + m * row[f, 0]
             return accs
 
-        gather = gather_mxu if mode == "mxu" else gather_vpu
+        def gather_dg(idx):
+            # one take_along_axis per field: page field row broadcast to
+            # all sublanes, nodes live in the 128 lanes
+            fields = []
+            for f in range(F):
+                row = jnp.broadcast_to(pageT_ref[f : f + 1, :], idx.shape)
+                fields.append(jnp.take_along_axis(row, idx, axis=1))
+            return fields
+
+        gather = {"mxu": gather_mxu, "vpu": gather_vpu, "dg": gather_dg}[mode]
 
         def body(i, carry):
             idx, acc = carry
@@ -178,7 +197,7 @@ def main():
     o_j = [jnp.asarray(x) for x in o_np]
     inv_j = [jnp.asarray(x) for x in inv_np]
     ref4 = oracle(4)
-    for mode in ("mxu", "vpu"):
+    for mode in ("mxu", "vpu", "dg"):
         got = np.asarray(run(pageT, o_j, inv_j, 4, mode, sub,
                              interpret=interp))
         err = np.abs(got - ref4).max()
@@ -187,14 +206,22 @@ def main():
     if interp:
         return  # interpret mode: correctness only, timings meaningless
 
-    for sub in (8, 16):
+    subs = tuple(
+        int(x) for x in os.environ.get("LW_SUBS", "8,16").split(",")
+    )
+    steps_list = tuple(
+        int(x) for x in os.environ.get("LW_STEPS", "64,512").split(",")
+    )
+    modes = tuple(os.environ.get("LW_MODES", "mxu,vpu,dg").split(","))
+    marg = {}
+    for sub in subs:
         o = [jnp.asarray(rng.normal(size=(sub, 128)).astype(np.float32) * 2)
              for _ in range(3)]
         d = [rng.normal(size=(sub, 128)).astype(np.float32) for _ in range(3)]
         inv = [jnp.asarray(1.0 / np.where(np.abs(x) < 1e-6, 1e-6, x))
                for x in d]
-        for mode in ("mxu", "vpu"):
-            for steps in (64, 512):
+        for mode in modes:
+            for steps in steps_list:
                 f = lambda: run(pageT, o, inv, steps, mode, sub,
                                 interpret=interp)
                 jax.block_until_ready(f())
@@ -205,14 +232,24 @@ def main():
                 jax.block_until_ready(r)
                 dt = (time.perf_counter() - t0) / reps
                 lanes = sub * 128
+                marg[(mode, sub, steps)] = dt
                 print(
                     f"{mode:4s} sub={sub:2d} steps={steps:4d}: "
                     f"{dt*1e6:9.1f} us  "
                     f"{dt/steps*1e9:8.1f} ns/step  "
                     f"{dt/steps/lanes*1e9:7.3f} ns/lane-step"
                 )
-        # differential step cost (subtracting fixed dispatch):
-        # (t512 - t64) / 448 is the marginal per-step cost
+            # marginal step cost between the two largest step counts —
+            # subtracts the fixed dispatch floor (multi-ms on axon)
+            if len(steps_list) >= 2:
+                s_lo, s_hi = steps_list[-2], steps_list[-1]
+                d_dt = marg[(mode, sub, s_hi)] - marg[(mode, sub, s_lo)]
+                d_s = s_hi - s_lo
+                print(
+                    f"  -> {mode} sub={sub} marginal: "
+                    f"{d_dt/d_s*1e9:8.1f} ns/step  "
+                    f"{d_dt/d_s/(sub*128)*1e9:7.3f} ns/lane-step"
+                )
 
     # page-regroup cost: argsort at wavefront sizes
     for n in (1 << 17, 1 << 19, 1 << 21):
