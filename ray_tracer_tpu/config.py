@@ -139,6 +139,14 @@ class Routing:
     # lanes almost for free — unlike the fine-tree walk where 2048 is the
     # measured knee.
     cluster_enum_packet: int = 8192
+    # Per-lane rope-walk kernel (kernels/lanewalk.py, round 5): every
+    # lane walks its OWN octant-threaded rope through per-octant preorder
+    # row streams, with 8 independent page-cursor gangs per 1024-lane
+    # block and Mosaic dynamic gathers fetching each lane's 16-float row.
+    # 'off' | 'force' | 'interpret' (CPU testing) | 'auto' (use on TPU
+    # backends when streams are built).  Replaces BOTH the closest-hit
+    # and anyhit traversal when on.
+    lanewalk: str = "off"
 
     @staticmethod
     def from_env() -> "Routing":
@@ -165,6 +173,7 @@ class Routing:
             groups=int(os.environ.get("RT_GROUPS", 16)),
             groups_packet=int(os.environ.get("RT_GROUPS_PACKET", 4096)),
             nee_prebin=os.environ.get("RT_NEE_PREBIN", "off"),
+            lanewalk=os.environ.get("RT_LANEWALK", "off"),
             cluster_enum_packet=int(
                 os.environ.get("RT_CLUSTER_ENUM_PACKET", 8192)
             ),

@@ -127,12 +127,31 @@ def prim_space(scene: CompiledScene, routing: Routing = None) -> str:
     Static at trace time (depends on routing + scene meta only).
     """
     rt = routing if routing is not None else Routing.from_env()
+    if _lanewalk_on(scene, rt):
+        return "tri"  # rope rows carry global triangle ids
     mode = _packet_mode(scene, rt)
     if mode != "off" and _cluster_on(scene, mode, rt):
         return "tri"  # cluster ranges are contiguous global-id ranges
     if mode != "off" and _use_wide(scene, mode, rt):
         return "slot"
     return "tri"
+
+
+def _lanewalk_on(scene: CompiledScene, routing: Routing) -> bool:
+    """Route through the per-lane rope-walk kernel (kernels/lanewalk.py)?
+    Needs the per-octant rope streams (flattened scenes, built by
+    scene/builder.py unless RT_ROPE_BUILD=0).  When on it replaces BOTH
+    the closest-hit and anyhit triangle traversal."""
+    lw = routing.lanewalk
+    if lw == "off":
+        return False
+    if not scene.meta.get("flattened", False) or not scene.meta.get(
+        "rope_rows", 0
+    ):
+        return False
+    if lw in ("force", "interpret"):
+        return True
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def _cluster_on(scene: CompiledScene, mode: str, routing: Routing) -> bool:
@@ -421,6 +440,40 @@ def traverse(
     if scene.n_objects == 0 or scene.meta.get("n_tris", 0) == 0:
         return best
 
+    if _lanewalk_on(scene, routing):
+        from ..kernels import lanewalk as lanewalk_k
+
+        tmax0 = jnp.where(active, best.dst, -BIG)
+        dst, prim = lanewalk_k.lanewalk_traverse(
+            scene.rope_streams, scene.meta["rope_rows"], origin, direction,
+            tmax0, interpret=routing.lanewalk == "interpret",
+        )
+        tri_hit = prim >= 0
+        if need_uv:
+            ti = jnp.maximum(prim, 0)
+            trow = scene.tri_packed[ti]
+            _, u, v, _, front, _ = intersect.intersect_tris(
+                origin, direction, trow[:, 0:3], trow[:, 3:6],
+                trow[:, 6:9], trow[:, 9:12], trow[:, 12] > 0.5,
+            )
+        else:
+            zero = jnp.zeros_like(dst)
+            u, v, front = zero, zero, jnp.zeros_like(tri_hit)
+        owner = (
+            jnp.zeros_like(prim)
+            if raw
+            else scene.tri_obj[jnp.where(tri_hit, prim, 0)]
+        )
+        return Hit(
+            dst=jnp.where(tri_hit, dst, best.dst),
+            kind=jnp.where(tri_hit, KIND_TRI, best.kind),
+            prim=jnp.where(tri_hit, prim, best.prim),
+            obj=jnp.where(tri_hit, owner, best.obj),
+            u=jnp.where(tri_hit, u, best.u),
+            v=jnp.where(tri_hit, v, best.v),
+            front=jnp.where(tri_hit, front, best.front),
+        )
+
     hit_links = scene.bvh_hit_link.reshape(-1)  # (8*B,)
     miss_links = scene.bvh_miss_link.reshape(-1)
 
@@ -600,6 +653,16 @@ def traverse_anyhit(
 
     if scene.n_objects == 0 or scene.meta.get("n_tris", 0) == 0:
         return occ & active
+
+    if _lanewalk_on(scene, routing):
+        from ..kernels import lanewalk as lanewalk_k
+
+        tmax0 = jnp.where(active, tmax, -BIG)
+        dst, _ = lanewalk_k.lanewalk_traverse(
+            scene.rope_streams, scene.meta["rope_rows"], origin, direction,
+            tmax0, interpret=routing.lanewalk == "interpret", anyhit=True,
+        )
+        return (occ | (dst < -1.0)) & active
 
     mode = _packet_mode(scene, routing)
     if mode != "off" and (

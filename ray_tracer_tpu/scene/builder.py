@@ -688,6 +688,23 @@ class SceneBuilder:
         # the per-lane leaf_map indirection gather from the hot path.
         shade_slot = shade_tri[leaf_map]
 
+        # Per-octant rope streams for the lanewalk kernel (round 5).
+        # ~16 f32/row x (nodes + tri refs) x 8 octants of HBM; built for
+        # flattened scenes unless RT_ROPE_BUILD=0 (the route needs them
+        # at trace time, so they must ride the CompiledScene pytree).
+        rope_rows = 0
+        rope_streams = np.zeros((1, 1, 16 * 128), f32)
+        if flattened and n_tris and os.environ.get(
+            "RT_ROPE_BUILD", "1"
+        ) != "0":
+            from ..kernels.lanewalk import build_rope_streams
+
+            rope_streams, rope_rows = build_rope_streams(
+                forest.node_min, forest.node_max, forest.index,
+                forest.tri_count, forest.hit_link, forest.miss_link,
+                tri_packed, max_leaf=forest.max_leaf_tris,
+            )
+
         return CompiledScene(
             sphere_pos=sph_pos,
             sphere_radius=sph_rad,
@@ -738,6 +755,7 @@ class SceneBuilder:
             super_page=super_page,
             super_cpage=super_cpage,
             super_cstart=super_cstart,
+            rope_streams=rope_streams,
             light_corner=li_corner,
             light_edge_u=li_u,
             light_edge_v=li_v,
@@ -762,6 +780,7 @@ class SceneBuilder:
                 "max_leaf_tris": forest.max_leaf_tris,
                 "wide_leaf_recs": wide_leaf_recs,
                 "flattened": flattened,
+                "rope_rows": int(rope_rows),
                 "treelet_size": 64,
                 "n_treelets": (
                     int(wide_troot.sum()) if flattened else 0

@@ -215,6 +215,11 @@ class CompiledScene:
     super_page: Any  # (16, 6*128) f32
     super_cpage: Any  # (S, 16, 6*128) f32
     super_cstart: Any  # (S,) i32 first cluster id per super
+    # Per-octant rope-walk row streams for the lanewalk kernel
+    # (kernels/lanewalk.py): the narrow tree flattened into each octant's
+    # preorder (interior -> BOX row, leaf -> BOX row + cnt TRI rows),
+    # paged 128 rows / 16 fields, field-major.  meta: rope_rows.
+    rope_streams: Any  # (8, n_pages, 16*128) f32
 
     # NEE lights.
     light_corner: Any  # (L,3) f32

@@ -34,8 +34,9 @@ F = 16
 BIG = 99999999.0
 
 
-def step_kernel(tabs_ref, ox_ref, oy_ref, oz_ref, ix_ref, out_ref, *,
-                iters, with_switch, n_pages):
+def step_kernel(iters_ref, tabs_ref, ox_ref, oy_ref, oz_ref, ix_ref,
+                out_ref, *, with_switch, n_pages):
+    iters = iters_ref[0, 0]
     ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     inv_x, inv_y, inv_z = 1.0 / ox, 1.0 / oy, 1.0 / oz
 
@@ -103,7 +104,20 @@ def step_kernel(tabs_ref, ox_ref, oy_ref, oz_ref, ix_ref, out_ref, *,
     out_ref[...] = best + bi.astype(jnp.float32) + ix.astype(jnp.float32)
 
 
-def run(iters, with_switch, n_pages=64, interpret=False):
+def make_fn(with_switch, n_pages=64, interpret=False):
+    fn = pl.pallas_call(
+        functools.partial(step_kernel, with_switch=with_switch,
+                          n_pages=n_pages),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def run(j, iters, n_pages=64, reps=5):
     key = jax.random.PRNGKey(0)
     tabs = jax.random.uniform(key, (F, n_pages, 8, 128), jnp.float32) + 0.5
     ox, oy, oz = (
@@ -112,31 +126,27 @@ def run(iters, with_switch, n_pages=64, interpret=False):
     )
     ix = jax.random.randint(jax.random.PRNGKey(9), (8, 128), 0, 128,
                             jnp.int32)
-    fn = pl.pallas_call(
-        functools.partial(step_kernel, iters=iters,
-                          with_switch=with_switch, n_pages=n_pages),
-        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )
-    j = jax.jit(fn)
-    r = j(tabs, ox, oy, oz, ix)
+    it = jnp.full((1, 1), iters, jnp.int32)
+    r = j(it, tabs, ox, oy, oz, ix)
     np.asarray(jnp.ravel(r)[0])
-    t0 = time.perf_counter()
-    r = j(tabs, ox, oy, oz, ix)
-    np.asarray(jnp.ravel(r)[0])
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = j(it, tabs, ox, oy, oz, ix)
+        np.asarray(jnp.ravel(r)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
+    lo, hi = 100000, 300000
     for with_switch in (False, True):
         tag = "step+pageswitch" if with_switch else "step           "
-        ts = {}
-        for iters in (2000, 20000):
-            ts[iters] = run(iters, with_switch)
-        marg = (ts[20000] - ts[2000]) / 18000
-        print(f"{tag}: {ts[20000]/20000*1e9:7.1f} ns/step raw, marginal "
+        j = make_fn(with_switch)
+        t_lo = run(j, lo)
+        t_hi = run(j, hi)
+        marg = (t_hi - t_lo) / (hi - lo)
+        print(f"{tag}: raw {t_hi/hi*1e9:7.1f} ns/step @ {hi}, marginal "
               f"{marg*1e9:7.1f} ns/step ({marg/1024*1e9:6.3f} ns/lane-step)")
 
 
