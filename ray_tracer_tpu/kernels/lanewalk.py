@@ -174,7 +174,8 @@ def _lanewalk_kernel(
     tab_ref,  # VMEM scratch (8, F*128): stacked per-row resident pages
     *,
     n_pages: int,
-    max_steps: int,
+    max_phases: int,
+    phase_steps: int,
     anyhit: bool,
 ):
     del oct_ref  # consumed by the stream index_map
@@ -191,29 +192,18 @@ def _lanewalk_kernel(
     cur0 = jnp.where(alive0, jnp.int32(0), DEAD)
     prim0 = jnp.full_like(cur0, -1)
 
-    def cond(state):
-        steps, cur = state[0], state[1]
-        return (jnp.min(cur) < DEAD) & (steps < max_steps)
-
-    def body(state):
-        steps, cur, best, prim = state[:4]
-        pgs = state[4:]
-        # per-gang (sublane row) minimum row id -> resident page.  The
-        # walk is monotone, so the min is the earliest page any of the
-        # gang's lanes still needs.
-        rowmin = jnp.min(cur, axis=1, keepdims=True)  # (8,1)
-        pg_vec = jax.lax.shift_right_logical(rowmin, 7)
-        new_pgs = []
-        for r in range(8):
-            pgr = jnp.sum(pg_vec[r : r + 1, 0:1])
-            need = (pgr < n_pages) & (pgr != pgs[r])
-
-            @pl.when(need)
-            def _(pgr=pgr, r=r):
-                tab_ref[pl.ds(r, 1), :] = stream_ref[0, pl.ds(pgr, 1)]
-
-            new_pgs.append(jnp.where(pgr < n_pages, pgr, pgs[r]))
-
+    # Loop structure (probe_lane_step2.py attribution): every
+    # vector->scalar sync costs ~100 ns BUT independent syncs pipeline
+    # (8 extracts = 1 extract); a data-dependent while cond costs
+    # ~220 ns; pl.when branches consuming fresh extracts SERIALIZE the
+    # extract->branch->copy chains (~3.2 us/iter in v1).  So v2 hoists
+    # ALL scalar work into a per-PHASE boundary: one (8,1) row-min
+    # reduce, 8 pipelined extracts, 8 UNconditional page copies, then an
+    # inner fori of `phase_steps` gather/test steps on FIXED pages
+    # (lanes that leave their row's page just wait for the next
+    # boundary; the walk is monotone so they only move forward).
+    def inner(carry):
+        cur, best, prim, pg_vec = carry
         active = (jax.lax.shift_right_logical(cur, 7) == pg_vec) & (
             cur < DEAD
         )
@@ -279,18 +269,39 @@ def _lanewalk_kernel(
         if anyhit:
             nxt = jnp.where(imp, DEAD, nxt)
         cur = jnp.where(active, nxt, cur)
-        return (steps + 1, cur, best, prim) + tuple(new_pgs)
+        return cur, best, prim, pg_vec
 
-    state = (jnp.int32(0), cur0, best0, prim0) + tuple(
-        jnp.int32(-1) for _ in range(8)
-    )
+    def cond(state):
+        phases, cur = state[0], state[1]
+        return (jnp.min(cur) < DEAD) & (phases < max_phases)
+
+    def body(state):
+        phases, cur, best, prim = state
+        # boundary: per-gang (sublane row) minimum row id -> resident
+        # page (the walk is monotone, so the min is the earliest page
+        # any of the gang's lanes still needs), 8 pipelined extracts,
+        # 8 unconditional copies (a dead row reloads page 0 harmlessly)
+        rowmin = jnp.min(cur, axis=1, keepdims=True)  # (8,1)
+        pg_vec = jax.lax.shift_right_logical(rowmin, 7)
+        for r in range(8):
+            pgr = jnp.sum(pg_vec[r : r + 1, 0:1])
+            pgc = jnp.where(pgr < n_pages, pgr, 0)
+            tab_ref[pl.ds(r, 1), :] = stream_ref[0, pl.ds(pgc, 1)]
+        carry = (cur, best, prim, pg_vec)
+        for _ in range(phase_steps):
+            carry = inner(carry)
+        cur, best, prim, _ = carry
+        return phases + 1, cur, best, prim
+
+    state = (jnp.int32(0), cur0, best0, prim0)
     out = jax.lax.while_loop(cond, body, state)
     dst_ref[...] = out[2]
     prim_ref[...] = out[3]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_rows", "interpret", "anyhit")
+    jax.jit,
+    static_argnames=("n_rows", "interpret", "anyhit", "phase_steps"),
 )
 def lanewalk_traverse(
     streams: jnp.ndarray,  # (8, n_pages, F*128) f32
@@ -300,7 +311,12 @@ def lanewalk_traverse(
     tmax0: jnp.ndarray,  # -BIG marks inactive lanes (group convention)
     interpret: bool = False,
     anyhit: bool = False,
+    phase_steps: int = None,
 ):
+    if phase_steps is None:
+        import os
+
+        phase_steps = int(os.environ.get("LW_PHASE_STEPS", 8))
     n = origin.shape[0]
     block = 1024
     gcnt = -(-n // block)
@@ -348,9 +364,11 @@ def lanewalk_traverse(
     kernel = functools.partial(
         _lanewalk_kernel,
         n_pages=n_pages,
-        # each page contributes at most its 128-row height to the gang's
-        # sum-of-page-maxes, so n_rows + 2 can never truncate a walk
-        max_steps=n_rows + 2,
+        # every phase advances each live row's min lane by >=1 row id
+        # (ids are bounded by n_rows), so n_rows + 2 phases can never
+        # truncate a legitimate walk
+        max_phases=n_rows + 2,
+        phase_steps=phase_steps,
         anyhit=anyhit,
     )
     dst, prim = pl.pallas_call(
