@@ -393,6 +393,30 @@ def main():
         gang_pages = (128, 1024)
         blocks = tuple(int(x) for x in
                        os.environ.get("LW_BLOCKS", "1024,4096").split(","))
+        # bin-key sweep for the row-gang metric: LW_KEYS="mb:db,mb:db,..."
+        # re-keys the bounce population (the weak one) per setting
+        if os.environ.get("LW_KEYS"):
+            print("\nbin-key sweep (bounce closest, row-gang metric):")
+            for spec in os.environ["LW_KEYS"].split(","):
+                mb, db = (int(x) for x in spec.split(":"))
+                k2 = np.asarray(wavefront._bin_key(
+                    sc, jnp.asarray(o2), jnp.asarray(d2),
+                    jnp.ones(n, bool), mb, db,
+                ))
+                for blk in (128,):
+                    per_p, smean, mino, per_block = gang_walk(
+                        o2, d2, np.full(n, BIG, np.float32), bmin, bmax,
+                        index, cnt, hit_l, miss_l, tri, octant_tables, B,
+                        k2, gang_pages, block=blk, anyhit=False,
+                        max_leaf=int(sc.max_leaf_tris),
+                    )
+                    pb = np.asarray(per_block[128])
+                    ng8 = len(pb) // 8
+                    g8 = pb[: ng8 * 8].reshape(ng8, 8)
+                    print(f"  mb={mb} db={db}: row-gang 8x128 P128 "
+                          f"{g8.max(axis=1).mean()/(8*blk):7.4f} st/ray "
+                          f"(scalar {smean:5.1f}, minority {mino*100:4.1f}%)")
+            return
         for name, o, d, clip, anyhit, key in pops:
             for blk in blocks:
                 t0 = time.time()
