@@ -465,7 +465,12 @@ def obj_normals_demo(assets: str = DEFAULT_ASSETS) -> SceneBuilder:
     b = SceneBuilder()
     default_materials(b)
     grass = b.add_material(Material(albedo=(0.35, 0.85, 0.2), name="grass"))
-    b.add_sphere((0.0, 100.5, 0.5), 100.0, grass)
+    # Planet limb fitted to the screenshot (r5): 14 limb rays measured in
+    # the 2x top-anchored viewport (window 1728x1117, vk_engine.h:338),
+    # sphere tangency least-squares at the pinned camera; radius is
+    # scale-degenerate along the tangent cone, r=4 chosen mid-range
+    # (max limb residual 0.0007 world units).
+    b.add_sphere((-2.869, 3.624, 0.042), 4.0, grass)
     alb = b.add_texture(os.path.join(assets, "rb_alb.png"))
     m = b.add_material(
         Material(albedo=(1.0, 1.0, 1.0), albedo_tex=alb, name="rb")

@@ -86,31 +86,48 @@ def main():
         ("bounce closest ", o2b, d2b, None, False),
         ("shadow anyhit  ", osb, dsb, clip, True),
     ]
+    sel = os.environ.get("LW_POPS")  # e.g. "shadow" or "primary,bounce"
+    if sel:
+        pops = [p for p in pops if any(s in p[0] for s in sel.split(","))]
     act = jnp.ones(n, bool)
     routes = [
         ("group  ", Routing()),
         ("lanewlk", Routing(lanewalk="force")),
     ]
+    # LW_PHASE_STEPS is read inside lanewalk_traverse; LW_PS_SWEEP="2,4,8"
+    # re-times the lanewalk route per value (group timed once).
+    ps_sweep = [int(x) for x in
+                os.environ.get("LW_PS_SWEEP", "0").split(",") if x != "0"]
+    from ray_tracer_tpu.kernels import lanewalk as lw_mod
+
     for name, o, d, tm, anyhit in pops:
         res = {}
         for rname, rt in routes:
-            if anyhit:
-                f = tpu_jit(lambda o, d, tm, rt=rt: traverse.traverse_anyhit(
-                    sc, o, d, act, tm, routing=rt))
-                args = (o, d, tm)
-            else:
-                f = tpu_jit(lambda o, d, rt=rt: traverse.traverse(
-                    sc, o, d, act, routing=rt, need_uv=False, raw=True).dst)
-                args = (o, d)
-            r = jax.block_until_ready(f(*args))
-            best = float("inf")
-            for _ in range(5):
-                t0 = time.perf_counter()
+            sweeps = ps_sweep if (ps_sweep and rname == "lanewlk") else [None]
+            for ps in sweeps:
+                if ps is not None:
+                    os.environ["LW_PHASE_STEPS"] = str(ps)
+                    lw_mod.lanewalk_traverse.clear_cache()
+                if anyhit:
+                    f = tpu_jit(
+                        lambda o, d, tm, rt=rt: traverse.traverse_anyhit(
+                            sc, o, d, act, tm, routing=rt))
+                    args = (o, d, tm)
+                else:
+                    f = tpu_jit(lambda o, d, rt=rt: traverse.traverse(
+                        sc, o, d, act, routing=rt, need_uv=False,
+                        raw=True).dst)
+                    args = (o, d)
                 r = jax.block_until_ready(f(*args))
-                best = min(best, time.perf_counter() - t0)
-            res[rname] = (best, np.asarray(r))
-            print(f"{name} {rname}: {best*1e3:8.2f} ms  "
-                  f"{n/best/1e6:7.1f} Mrays/s")
+                best = float("inf")
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    r = jax.block_until_ready(f(*args))
+                    best = min(best, time.perf_counter() - t0)
+                res[rname] = (best, np.asarray(r))
+                tag = f" ps={ps}" if ps is not None else ""
+                print(f"{name} {rname}{tag}: {best*1e3:8.2f} ms  "
+                      f"{n/best/1e6:7.1f} Mrays/s", flush=True)
         a = res["group  "][1]
         b = res["lanewlk"][1]
         if anyhit:
