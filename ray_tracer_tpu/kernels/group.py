@@ -100,6 +100,7 @@ def _group_kernel(
     max_recs: int = 8,
     anyhit: bool = False,
     with_steps: bool = False,
+    reg_top: bool = False,
 ):
     if with_steps:
         steps_ref = rest[0]
@@ -134,22 +135,43 @@ def _group_kernel(
     # neither a max(sp-1, 0) clamp nor an alive-select on the load.
     # Entries live at slots [1..sp]; top = base + sp.
     root = entry_ref[0, 0]
-    for g in range(groups):
-        stack_ref[g * G_STACK] = jnp.int32(0)
-        stack_ref[g * G_STACK + 1] = root << 9
+    if reg_top:
+        # Register-top mode (r5, VERDICT item 3): the DFS top pair lives
+        # in the while-loop carry, not SMEM.  Only slot 0's permanent
+        # 0-word sentinel is initialized: it is both the dead-group pop
+        # source AND the dead-group store target (a dead group's top is
+        # the 0 word, whose mask/rem arithmetic makes the unconditional
+        # push store rewrite slot 0 with 0).
+        for g in range(groups):
+            stack_ref[g * G_STACK] = jnp.int32(0)
+    else:
+        for g in range(groups):
+            stack_ref[g * G_STACK] = jnp.int32(0)
+            stack_ref[g * G_STACK + 1] = root << 9
 
     layout = _fold_layout(groups, fields=2, field_shift=16)
     nwords = max(groups // 2, 1)
 
     def cond(state):
+        if reg_top:
+            # group alive iff sp >= 0 (sp == -1 after the sentinel pop)
+            alive = state[groups]
+            for s in state[groups + 1 : 2 * groups]:
+                alive = jnp.maximum(alive, s)
+            return alive >= 0
         alive = state[0]
         for s in state[1:groups]:
             alive = jnp.maximum(alive, s)
         return alive > 0
 
     def body(state):
-        sps = list(state[:groups])
-        nsteps = state[groups]
+        if reg_top:
+            words = list(state[:groups])
+            sps = list(state[groups : 2 * groups])
+            nsteps = state[2 * groups]
+        else:
+            sps = list(state[:groups])
+            nsteps = state[groups]
         best = dst_ref[...]
 
         # ---- pop: extract this step's visit per group from the top pair.
@@ -161,13 +183,26 @@ def _group_kernel(
         # chain (stack -> LUT -> meta) stalls ~6 cycles at each USE.
         # Issuing all G loads of a phase back-to-back hides each load's
         # latency under the other groups' loads.
-        tops, words, alives = [], [], []
-        for g in range(groups):
-            sp = sps[g]
-            alives.append(sp > 0)
-            tops.append(g * G_STACK + sp)
-        for g in range(groups):
-            words.append(stack_ref[tops[g]])
+        if reg_top:
+            # The top word is already in a register: the LUT/meta chain
+            # starts immediately, and the (possibly unused) pop load for
+            # the NEXT top issues up front, its latency hidden under the
+            # whole step.  alive = sp >= 0; dead groups carry the 0 word
+            # (direct-visit of node 0: interior row -> no dst write,
+            # pushes alive-masked).
+            alives = [sps[g] >= 0 for g in range(groups)]
+            nxts = [
+                stack_ref[g * G_STACK + jnp.maximum(sps[g], 0)]
+                for g in range(groups)
+            ]
+        else:
+            tops, words, alives = [], [], []
+            for g in range(groups):
+                sp = sps[g]
+                alives.append(sp > 0)
+                tops.append(g * G_STACK + sp)
+            for g in range(groups):
+                words.append(stack_ref[tops[g]])
         # next child slot via the 512-entry LUT (index = flag<<8|mask;
         # the LUT folds the lowest-set-bit search AND the near-first
         # slot reversal); mask==0 maps to meta slot 9, which carries
@@ -183,14 +218,17 @@ def _group_kernel(
         visits = []  # (child_row, alive, is_leaf)
         grows = []
         row_idxs = []
+        rems = []
         for g in range(groups):
             word = words[g]
             mask = word & 0xFF
             child = childs[g]
             rem = mask & (mask - 1)
-            stack_ref[tops[g]] = word + rem - mask
-            popped = alives[g] & (rem == 0)
-            sps[g] = sps[g] - jnp.where(popped, 1, 0)
+            rems.append(rem)
+            if not reg_top:
+                stack_ref[tops[g]] = word + rem - mask
+                popped = alives[g] & (rem == 0)
+                sps[g] = sps[g] - jnp.where(popped, 1, 0)
             is_leaf = child < 0
             row_idxs.append(jnp.where(is_leaf, -child - 1, child))
             visits.append((child, alives[g], is_leaf))
@@ -309,23 +347,56 @@ def _group_kernel(
         # suppressed push writes garbage to a dead slot); only the sp
         # increment is masked — pl.when branches measured ~15 cycles each
         # on the in-order scalar core.
-        words = []
+        wsums = []
         for w in range(nwords):
-            words.append(jnp.sum(mw[w : w + 1, 0:1]))
+            wsums.append(jnp.sum(mw[w : w + 1, 0:1]))
+        if reg_top:
+            # DFS in registers: descend -> the child's pair becomes the
+            # new top and the parent's remainder (if any) is pushed; no
+            # descend -> the remainder is the new top, or (drained) the
+            # pre-loaded pop word is.  One unconditional SMEM store per
+            # group; the sp==-1 (dead) case writes the 0 word back to the
+            # group's own slot-0 sentinel.
+            for g in range(groups):
+                child, alive_g, is_leaf = visits[g]
+                wrow, wshift = layout[g]
+                m9_g = (wsums[wrow] >> wshift) & 0x1FF
+                word = words[g]
+                rem = rems[g]
+                prem = word + rem - (word & 0xFF)
+                descend = alive_g & (~is_leaf) & ((m9_g & 0xFF) != 0)
+                s = sps[g]
+                stack_ref[g * G_STACK + 1 + s] = prem
+                push = descend & (rem != 0)
+                pop = alive_g & (~descend) & (rem == 0)
+                sps[g] = s + jnp.where(push, 1, 0) - jnp.where(pop, 1, 0)
+                words[g] = jnp.where(
+                    descend,
+                    (child << 9) | m9_g,
+                    jnp.where(rem != 0, prem, nxts[g]),
+                )
+            return tuple(words) + tuple(sps) + (nsteps + 1,)
         for g in range(groups):
             child, alive_g, is_leaf = visits[g]
             wrow, wshift = layout[g]
-            m9_g = (words[wrow] >> wshift) & 0x1FF
+            m9_g = (wsums[wrow] >> wshift) & 0x1FF
             take = alive_g & (~is_leaf) & ((m9_g & 0xFF) != 0)
             s = sps[g]
             stack_ref[g * G_STACK + 1 + s] = (child << 9) | m9_g
             sps[g] = s + jnp.where(take, 1, 0)
         return tuple(sps) + (nsteps + 1,)
 
-    state = tuple(jnp.int32(1) for _ in range(groups)) + (jnp.int32(0),)
+    if reg_top:
+        state = (
+            tuple(root << 9 for _ in range(groups))
+            + tuple(jnp.int32(0) for _ in range(groups))
+            + (jnp.int32(0),)
+        )
+    else:
+        state = tuple(jnp.int32(1) for _ in range(groups)) + (jnp.int32(0),)
     out = jax.lax.while_loop(cond, body, state)
     if with_steps:
-        steps_ref[...] = jnp.full_like(steps_ref[...], out[groups])
+        steps_ref[...] = jnp.full_like(steps_ref[...], out[-1])
 
 
 def _mt_t(plane, k, ox, oy, oz, dx, dy, dz):
@@ -386,7 +457,7 @@ def stamp_leaf_rows(leaf_rows):
     jax.jit,
     static_argnames=(
         "entry_code", "interpret", "packet_size", "groups", "max_recs",
-        "anyhit", "with_steps",
+        "anyhit", "with_steps", "reg_top",
     ),
 )
 def group_traverse(
@@ -402,6 +473,7 @@ def group_traverse(
     max_recs: int = 8,
     anyhit: bool = False,
     with_steps: bool = False,
+    reg_top: bool = False,
 ):
     """Same contract as packet.packet_traverse_wide's (dst, prim) prefix:
     ``prim`` is the padded leaf-slot id (slot*8 + k), -1 on miss, and
@@ -472,6 +544,7 @@ def group_traverse(
         max_recs=max_recs,
         anyhit=anyhit,
         with_steps=with_steps,
+        reg_top=reg_top,
     )
     outs = pl.pallas_call(
         kernel,

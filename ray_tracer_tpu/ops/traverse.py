@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import os
+
 import numpy as np
 
 import jax
@@ -509,6 +511,9 @@ def traverse(
                 max_recs=scene.meta.get(
                     "wide_leaf_recs", 4 if scene.max_leaf_tris <= 4 else 8
                 ),
+                # register-top DFS (r5): top pair in the loop carry, one
+                # SMEM store/load per group-step; A/B escape hatch only
+                reg_top=os.environ.get("RT_GROUP_REGTOP", "0") == "1",
             )
             if need_uv:
                 u, v, front = packet._reconstruct_uvfront(
