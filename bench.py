@@ -149,8 +149,20 @@ def main() -> None:
         "rays_traced": rays_traced,
         "mrays_traced": round(rays_traced / dt / 1e6, 2),
     }
-    _save_last_known_good(record)
+    if not _env_overridden():
+        _save_last_known_good(record)
     print(json.dumps(record))
+
+
+def _env_overridden() -> bool:
+    """True when any RT_* env override is set.
+
+    A/B runs (RT_NEE_PREBIN=..., RT_BENCH_SCENE=..., ...) must NOT
+    refresh BENCH_LKG: the fallback record must always describe the
+    committed tree's DEFAULT configuration (round-4 and round-5 advisor
+    findings — the nosort A/B overwrote the 4.79 default record with its
+    own 4.05)."""
+    return any(k.startswith("RT_") for k in os.environ)
 
 
 _LKG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),

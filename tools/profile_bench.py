@@ -77,6 +77,12 @@ def run_tile(outdir: str) -> dict:
 
 BUCKETS = [
     # (bucket, substrings matched against the op/kernel name, lowercased)
+    # Order matters: first match wins.  The pallas calls carry explicit
+    # names (packet8_anyhit / packet8_wide / group_anyhit /
+    # group_traverse, round 5) so the shadow-ray occlusion walk gets its
+    # own bucket instead of riding "packet_kernel" (VERDICT r4 item 2).
+    ("anyhit_kernel", ["anyhit"]),
+    ("group_kernel", ["group_traverse"]),
     ("packet_kernel", ["custom-call", "tpu_custom_call", "packet"]),
     ("sort", ["sort"]),
     ("gather_scatter", ["gather", "scatter", "dynamic-slice",
