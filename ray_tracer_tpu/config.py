@@ -114,6 +114,13 @@ class Routing:
     # Packet size for the group route (the scalar tail amortizes over
     # more lanes than the packet walk's knee: 4096 beats 2048 here).
     groups_packet: int = 4096
+    # Route NEE/shadow occlusion queries through the group kernel too
+    # (round 5, VERDICT item 2).  r4 measured group-anyhit neutral vs
+    # the packet walk; re-opened after the order-free anyhit
+    # specialization (no near-first machinery in either kernel).
+    # Default decided by the hardware A/B in BENCH_NOTES r5
+    # (tools/measure_anyhit.py).
+    anyhit_group: bool = False
     # Pre-permute NEE (anyhit modes, round 5): the shadow query + MIS
     # ``direct`` resolve run BEFORE the round's coherence permute, so the
     # 12 NEE columns (nee_origin, l_dir, nee_k, cos_pdf, l_dist,
@@ -172,6 +179,7 @@ class Routing:
             cluster_enum=os.environ.get("RT_CLUSTER_ENUM", "packet"),
             groups=int(os.environ.get("RT_GROUPS", 16)),
             groups_packet=int(os.environ.get("RT_GROUPS_PACKET", 4096)),
+            anyhit_group=os.environ.get("RT_ANYHIT_GROUP", "0") == "1",
             nee_prebin=os.environ.get("RT_NEE_PREBIN", "off"),
             lanewalk=os.environ.get("RT_LANEWALK", "off"),
             cluster_enum_packet=int(

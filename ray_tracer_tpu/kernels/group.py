@@ -280,27 +280,38 @@ def _group_kernel(
                                  jnp.int32(1), 0) << k)
             m8 = m8 | (jnp.where(((s1 >> (8 * k)) & 0xFF) > 0,
                                  jnp.int32(1), 0) << (4 + k))
-        # near-first bit order: reverse the mask when the packet-majority
-        # ray sign along the node's sort axis is negative (slots ascend
-        # along axis; near end = high slot), and set bit 8 so the pop side
-        # can invert the slot mapping.  All vectorized on (G,1).
-        axis_vec = col(7).astype(jnp.int32)
-        av = axis_vec
-        r = av.shape[0]
-        while r > groups:
-            av = av[: r // 2]
-            r //= 2
-        # i32 throughout: scalar-bool -> i1-vector selects trip Mosaic's
-        # truncation legalization ("Unsupported target bitwidth")
-        negi = (jnp.where(neg_x, 1, 0), jnp.where(neg_y, 1, 0),
-                jnp.where(neg_z, 1, 0))
-        neg_vec = jnp.where(
-            av == 0, negi[0], jnp.where(av == 1, negi[1], negi[2])
-        )
-        mrev = jnp.int32(0)
-        for k in range(8):
-            mrev = mrev | (((m8 >> k) & 1) << (7 - k))
-        m9 = jnp.where(neg_vec == 1, mrev | 256, m8)
+        if anyhit:
+            # Occlusion queries are traversal-order-independent (per-lane
+            # ``best`` never shrinks until the lane dies), so skip the
+            # whole near-first machinery: no axis extract/fold, no
+            # majority-sign select, no 8-bit reverse — the LUT's flag=0
+            # rows give plain lowest-set-bit pops.  Order changes visit
+            # counts only; hardware A/B in BENCH_NOTES r5.
+            m9 = m8
+        else:
+            # near-first bit order: reverse the mask when the packet-
+            # majority ray sign along the node's sort axis is negative
+            # (slots ascend along axis; near end = high slot), and set
+            # bit 8 so the pop side can invert the slot mapping.  All
+            # vectorized on (G,1).
+            axis_vec = col(7).astype(jnp.int32)
+            av = axis_vec
+            r = av.shape[0]
+            while r > groups:
+                av = av[: r // 2]
+                r //= 2
+            # i32 throughout: scalar-bool -> i1-vector selects trip
+            # Mosaic's truncation legalization ("Unsupported target
+            # bitwidth")
+            negi = (jnp.where(neg_x, 1, 0), jnp.where(neg_y, 1, 0),
+                    jnp.where(neg_z, 1, 0))
+            neg_vec = jnp.where(
+                av == 0, negi[0], jnp.where(av == 1, negi[1], negi[2])
+            )
+            mrev = jnp.int32(0)
+            for k in range(8):
+                mrev = mrev | (((m8 >> k) & 1) << (7 - k))
+            m9 = jnp.where(neg_vec == 1, mrev | 256, m8)
         # pack TWO groups' 9-bit words per i32 (16-bit fields)
         mw = m9
         r = mw.shape[0]
@@ -548,6 +559,8 @@ def group_traverse(
     )
     outs = pl.pallas_call(
         kernel,
+        # Separate trace names for profile attribution (see packet.py).
+        name="group_anyhit" if anyhit else "group_traverse",
         grid=(gcnt,),
         in_specs=[
             full(uni),

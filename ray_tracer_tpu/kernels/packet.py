@@ -540,8 +540,27 @@ def _packet8_kernel(
         (the tail of the classic interior visit, shared with the
         fused-mask body which computes ``mask`` for several popped
         nodes at once)."""
-        axis = meta_ref[code * 12 + 8]
         codes8 = [meta_ref[code * 12 + c] for c in range(8)]
+        if anyhit:
+            # Occlusion queries are traversal-order-independent (a lane's
+            # occluded bit = "exists ANY hit inside clip"; per-lane ``best``
+            # never shrinks, so pruning doesn't depend on visit order) —
+            # skip the near-first machinery: no sort-axis SMEM load, no
+            # majority-sign select, no per-child slot/value selects.  The
+            # scalar push tail is the packet walk's serializing resource
+            # (BENCH_NOTES r5 step decomposition), so order freedom is
+            # pure win here.
+            s = sp
+            for c in range(8):
+                bit = (mask >> c) & 1
+
+                @pl.when(bit == 1)
+                def _(s=s, val=codes8[c]):
+                    stack_ref[s] = val
+
+                s = s + bit
+            return s
+        axis = meta_ref[code * 12 + 8]
         neg = jnp.where(
             axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z)
         )
@@ -803,7 +822,7 @@ def _packet8_kernel(
             if use_meta:
                 # codes/axis as scalar SMEM loads — measured ~5% faster
                 # than the 8 strided vector extracts per visit
-                axis = meta_ref[code * 12 + 8]
+                axis = None if anyhit else meta_ref[code * 12 + 8]
                 codes = [meta_ref[code * 12 + c] for c in range(8)]
             else:
                 axis = row[0, 7].astype(jnp.int32)
@@ -849,6 +868,25 @@ def _packet8_kernel(
                         cnt_ref[...] = cnt + jnp.where(h, 1, 0)
 
                     mask = mask & ~(clear << c)
+            if anyhit and not use_meta:
+                axis = None  # order-free pushes below never read it
+            if anyhit:
+                # Order-free pushes (see push_masked): the occluded set is
+                # traversal-order-invariant, so drop the sort-axis load and
+                # the per-child slot/value selects from the scalar push
+                # tail.  Order DOES change visit counts (near-first finds
+                # occluders sooner) — hardware A/B in BENCH_NOTES r5
+                # decides the default.
+                s = sp
+                for c in range(8):
+                    bit = (mask >> c) & 1
+
+                    @pl.when(bit == 1)
+                    def _(s=s, val=codes[c]):
+                        stack_ref[s] = val
+
+                    s = s + bit
+                return s
             neg = jnp.where(
                 axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z)
             )
@@ -1237,6 +1275,11 @@ def packet_traverse_wide(
         )
     outs = pl.pallas_call(
         kernel,
+        # Distinct trace names so profile attribution (tools/profile_bench)
+        # can split the NEE/shadow occlusion walk from closest-hit packet
+        # phases (round-5 VERDICT item 2: the r4 27% "anyhit" bucket
+        # conflated both).
+        name="packet8_anyhit" if anyhit else "packet8_wide",
         grid=(g,),
         in_specs=[
             node_spec,

@@ -165,9 +165,10 @@ def _cluster_on(scene: CompiledScene, mode: str, routing: Routing) -> bool:
 def _group_on(scene: CompiledScene, mode: str, routing: Routing) -> bool:
     """Route closest-hit triangle traversal through the multi-stack
     lane-group kernel (kernels/group.py)?  Needs the wide path with fully
-    VMEM-resident tables and single-row (<=8-record) leaf slots; anyhit
-    stays on the packet kernel (measured neutral — early exit already
-    collapses the packet union)."""
+    VMEM-resident tables and single-row (<=8-record) leaf slots.  Anyhit
+    routes through the group kernel only when ``routing.anyhit_group``
+    additionally opts in (round-5 A/B; r4 measured the unspecialized
+    variant neutral)."""
     placement = mode.split(":")[1] if mode.startswith("interpret") else mode
     return (
         routing.groups > 0
@@ -688,6 +689,29 @@ def traverse_anyhit(
         elif _two_phase_ok(scene, mode, routing):
             dst, _, _, _, _ = _two_phase_wide(
                 scene, origin, direction, tmax0, routing, interp,
+                anyhit=True,
+            )
+        elif routing.anyhit_group and _group_on(scene, mode, routing):
+            # Occlusion through the multi-stack group kernel (round 5,
+            # VERDICT item 2).  r4 measured group-anyhit neutral vs the
+            # packet walk; re-opened after the order-free anyhit
+            # specialization removed the near-first machinery from both
+            # kernels — hardware verdict in BENCH_NOTES r5.
+            from ..kernels import group
+
+            dst, _ = group.group_traverse(
+                scene.wide_packed,
+                scene.leaf_rows,
+                origin,
+                direction,
+                tmax0,
+                0,
+                interpret=interp,
+                packet_size=routing.groups_packet,
+                groups=routing.groups,
+                max_recs=scene.meta.get(
+                    "wide_leaf_recs", 4 if scene.max_leaf_tris <= 4 else 8
+                ),
                 anyhit=True,
             )
         else:
