@@ -47,6 +47,18 @@ class Routing:
     # route's 2048-lane unit).
     bin_bits: int = 6
     bin_dir_bits: int = 0
+    # Bounce-round coherence key flavor (round 5, VERDICT item 8):
+    #   "morton"  (octant, bin_bits-morton of origin) — the r2-r4 key.
+    #   "leaf"    (octant, previous-hit primitive id) — geometry-ADAPTIVE
+    #             origin locality: prim ids follow the SBVH builder's DFS
+    #             order (an adaptive space-filling curve over the
+    #             geometry), so same-key rays start from the same leaf
+    #             surface patch regardless of scene scale, where a 6-bit
+    #             morton cell can span thousands of leaves.  Regenerated
+    #             camera rays key by pixel id (scanline-coherent), dead
+    #             lanes to the end.  Images bit-identical either way
+    #             (binning is a pure permutation).
+    bin_mode: str = "morton"
     # Two-phase treelet traversal (round 3): a TOP packet walk emits
     # per-lane treelet entries, pairs are sorted by entry and traversed by
     # treelet-local DEEP packets (nearest entry first, remaining entries
@@ -117,10 +129,12 @@ class Routing:
     # Route NEE/shadow occlusion queries through the group kernel too
     # (round 5, VERDICT item 2).  r4 measured group-anyhit neutral vs
     # the packet walk; re-opened after the order-free anyhit
-    # specialization (no near-first machinery in either kernel).
-    # Default decided by the hardware A/B in BENCH_NOTES r5
-    # (tools/measure_anyhit.py).
-    anyhit_group: bool = False
+    # specialization, it now wins: 37.2 vs 34.3 Mrays/s standalone on
+    # binned production shadow rays (tools/measure_anyhit.py) and
+    # official bench 4.79 -> 5.17 Mrays/s (+8%), identical checksum.
+    # DEFAULT ON; packet remains the fallback wherever _group_on's
+    # prerequisites fail (RT_ANYHIT_GROUP=0 restores it).
+    anyhit_group: bool = True
     # Pre-permute NEE (anyhit modes, round 5): the shadow query + MIS
     # ``direct`` resolve run BEFORE the round's coherence permute, so the
     # 12 NEE columns (nee_origin, l_dir, nee_k, cos_pdf, l_dist,
@@ -170,6 +184,7 @@ class Routing:
             ),
             bin_bits=int(os.environ.get("RT_BIN_BITS", 6)),
             bin_dir_bits=int(os.environ.get("RT_BIN_DIR_BITS", 0)),
+            bin_mode=os.environ.get("RT_BIN_MODE", "morton"),
             two_phase=os.environ.get("RT_TWO_PHASE", "0") != "0",
             top_k=int(os.environ.get("RT_TOP_K", 5)),
             multi_pop=int(os.environ.get("RT_MULTI_POP", 1)),
@@ -179,7 +194,7 @@ class Routing:
             cluster_enum=os.environ.get("RT_CLUSTER_ENUM", "packet"),
             groups=int(os.environ.get("RT_GROUPS", 16)),
             groups_packet=int(os.environ.get("RT_GROUPS_PACKET", 4096)),
-            anyhit_group=os.environ.get("RT_ANYHIT_GROUP", "0") == "1",
+            anyhit_group=os.environ.get("RT_ANYHIT_GROUP", "1") == "1",
             nee_prebin=os.environ.get("RT_NEE_PREBIN", "off"),
             lanewalk=os.environ.get("RT_LANEWALK", "off"),
             cluster_enum_packet=int(
@@ -212,6 +227,20 @@ class RenderConfig:
     # Pixel-center jitter for anti-aliasing. The reference samples each pixel
     # at its corner every time (raytrace.comp:541) — keep False for parity.
     aa_jitter: bool = False
+    # Capability extension CLOSING reference quirk Q8: the reference
+    # parses map_bump and carries tangent/binormal fields, but
+    # calculate_binormal never writes its outputs (vk_engine.cpp:
+    # 1040-1058) — bump mapping is dead there.  True enables WORKING
+    # height-map bump mapping: tangent frame solved from triangle edges
+    # + UV deltas (exactly what calculate_binormal intended), 3-tap
+    # height gradient, normal perturbed by bump_scale.  Default False =
+    # snapshot-exact shading.  Flattened scenes only (the production
+    # path); forest-compat scenes ignore it.
+    enable_normal_maps: bool = False
+    # Perturbation strength in per-texel height-gradient units (the
+    # gradient of a [0,1] height map across one texel, so the look is
+    # resolution-stable).
+    bump_scale: float = 1.0
     # Pixels per traversal batch; render() tiles the image into chunks of
     # this many pixels x samples to bound live-state memory.  The fused
     # bounce step launches 2N-ray traversals (bounce ++ NEE), and XLA stages

@@ -44,6 +44,7 @@ proxy's foliage).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -280,13 +281,17 @@ def _group_kernel(
                                  jnp.int32(1), 0) << k)
             m8 = m8 | (jnp.where(((s1 >> (8 * k)) & 0xFF) > 0,
                                  jnp.int32(1), 0) << (4 + k))
-        if anyhit:
+        if anyhit and os.environ.get("RT_ANYHIT_NEARFIRST") != "1":
             # Occlusion queries are traversal-order-independent (per-lane
             # ``best`` never shrinks until the lane dies), so skip the
             # whole near-first machinery: no axis extract/fold, no
             # majority-sign select, no 8-bit reverse — the LUT's flag=0
-            # rows give plain lowest-set-bit pops.  Order changes visit
-            # counts only; hardware A/B in BENCH_NOTES r5.
+            # rows give plain lowest-set-bit pops.  MEASURED +40% on this
+            # kernel (37.2 vs 26.5 Mrays/s, binned shadow rays,
+            # tools/measure_anyhit.py r5) — here the reversal block is
+            # per-step VECTOR work, unlike the packet kernel where order
+            # freedom only trims scalar selects and near-first wins.
+            # RT_ANYHIT_NEARFIRST=1 restores near-first (A/B escape).
             m9 = m8
         else:
             # near-first bit order: reverse the mask when the packet-

@@ -320,6 +320,15 @@ def _packet8_kernel(
     mask_mode: str = "sum4",
     emit_leaves: bool = False,
 ):
+    # Order-free anyhit pushes (round 5): the occluded set is traversal-
+    # order-invariant, so the near-first machinery is optional for
+    # occlusion walks.  On THIS kernel the near-first order measured 4%
+    # FASTER (34.3 vs 32.9 Mrays/s, binned shadow rays, sponza_proxy —
+    # tools/measure_anyhit.py): the saved scalar selects don't cover the
+    # extra visits from worse early-exit order.  Default stays near-first;
+    # RT_ANYHIT_ORDERFREE_PACKET=1 is the A/B escape.  (The group kernel
+    # defaults the other way: order-free is +40% there.)
+    anyhit_of = anyhit and os.environ.get("RT_ANYHIT_ORDERFREE_PACKET") == "1"
     rest = list(rest)
     if top_k:
         # Two-phase TOP mode: children that are treelet roots (meta slot 9)
@@ -541,7 +550,7 @@ def _packet8_kernel(
         fused-mask body which computes ``mask`` for several popped
         nodes at once)."""
         codes8 = [meta_ref[code * 12 + c] for c in range(8)]
-        if anyhit:
+        if anyhit_of:
             # Occlusion queries are traversal-order-independent (a lane's
             # occluded bit = "exists ANY hit inside clip"; per-lane ``best``
             # never shrinks, so pruning doesn't depend on visit order) —
@@ -822,7 +831,7 @@ def _packet8_kernel(
             if use_meta:
                 # codes/axis as scalar SMEM loads — measured ~5% faster
                 # than the 8 strided vector extracts per visit
-                axis = None if anyhit else meta_ref[code * 12 + 8]
+                axis = None if anyhit_of else meta_ref[code * 12 + 8]
                 codes = [meta_ref[code * 12 + c] for c in range(8)]
             else:
                 axis = row[0, 7].astype(jnp.int32)
@@ -868,9 +877,7 @@ def _packet8_kernel(
                         cnt_ref[...] = cnt + jnp.where(h, 1, 0)
 
                     mask = mask & ~(clear << c)
-            if anyhit and not use_meta:
-                axis = None  # order-free pushes below never read it
-            if anyhit:
+            if anyhit_of:
                 # Order-free pushes (see push_masked): the occluded set is
                 # traversal-order-invariant, so drop the sort-axis load and
                 # the per-child slot/value selects from the scalar push
