@@ -97,9 +97,9 @@ def analyze() -> None:
             return np.inf, None
         crop = _resize(ref[y0: y0 + bh, x0: x0 + bw], small_w, small_h)
         fm = _resize(
-            furn[y0: y0 + bh, x0: x0 + bw, None].astype(np.float32) * 1.0,
+            furn[y0: y0 + bh, x0: x0 + bw].astype(np.float32),
             small_w, small_h,
-        )[..., 0] < 0.5
+        ) < 0.5
         return float(np.mean(((crop - ours_s) ** 2)[fm])), None
 
     best = (np.inf, None)
@@ -126,8 +126,8 @@ def analyze() -> None:
     x0, y0 = int(fx * rw), int(fy * rh)
     a = _resize(ref[y0: y0 + bh, x0: x0 + bw], W, H)
     fm = _resize(
-        furn[y0: y0 + bh, x0: x0 + bw, None].astype(np.float32) * 1.0, W, H
-    )[..., 0] < 0.5
+        furn[y0: y0 + bh, x0: x0 + bw].astype(np.float32), W, H
+    ) < 0.5
     b = ours
 
     r, g, bl = a[..., 0], a[..., 1], a[..., 2]
