@@ -437,6 +437,7 @@ class SceneBuilder:
         shade_tri[:, 28] = np.arange(max(n_tris, 1), dtype=f32)
         shade_tri[:, 29] = mi("metalness_tex")[tmat].astype(f32)
         shade_tri[:, 30] = mi("alpha_tex")[tmat].astype(f32)
+        shade_tri[:, 31] = mi("bump_tex")[tmat].astype(f32)
         if n_tris:
             shade_tri[:, 32:44] = tri_packed[:, 0:12]
 
@@ -776,6 +777,7 @@ class SceneBuilder:
                 "n_textures": len(self._texture_paths),
                 "n_metalness_maps": int(sum(m.metalness_tex >= 0 for m in mats)),
                 "n_alpha_maps": int(sum(m.alpha_tex >= 0 for m in mats)),
+                "n_bump_maps": int(sum(m.bump_tex >= 0 for m in mats)),
                 "n_tris": int(positions.shape[0]) if self._groups else 0,
                 "max_leaf_tris": forest.max_leaf_tris,
                 "wide_leaf_recs": wide_leaf_recs,
