@@ -185,10 +185,17 @@ class ViewerState:
         # answer.  The browser upscales the small PNG (pixelated).
         self.preview = None
         if preview_scale > 1:
+            # Preview also caps bounce depth: the drag preview is a
+            # navigation aid, and the wavefront's per-round cost floor
+            # dominates small frames — bounce 2 lifted the 480x270
+            # sponza_proxy preview from 3.2 to >5 fps on the v5e
+            # (tools/measure_viewer_fps.py, BENCH_NOTES r5), the
+            # reference's interactive bar (vk_engine.cpp:1497-1501).
             pcfg = cfg.replace(
                 width=max(16, cfg.width // preview_scale),
                 height=max(16, cfg.height // preview_scale),
                 samples_per_pixel=1,
+                bounce_limit=min(cfg.bounce_limit, 2),
             )
             self.preview = ProgressiveRenderer(
                 compiled, pcfg, camera=self.renderer.camera
