@@ -96,9 +96,11 @@ def main() -> None:
                     sc.wide_packed, sc.leaf_rows, o, d, tm, 0,
                     max_recs=recs, anyhit=True, need_uv=False)[0])
             else:
+                psize = int(os.environ.get("AH_PSIZE", 4096))
+                grps = int(os.environ.get("AH_GROUPS", 16))
                 f = tpu_jit(lambda o, d, tm: group_k.group_traverse(
                     sc.wide_packed, sc.leaf_rows, o, d, tm, 0,
-                    packet_size=4096, groups=16, max_recs=recs,
+                    packet_size=psize, groups=grps, max_recs=recs,
                     anyhit=True)[0])
             r = jax.block_until_ready(f(o, d, tm))
             best = float("inf")
