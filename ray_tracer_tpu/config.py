@@ -56,8 +56,13 @@ class Routing:
     #             surface patch regardless of scene scale, where a 6-bit
     #             morton cell can span thousands of leaves.  Regenerated
     #             camera rays key by pixel id (scanline-coherent), dead
-    #             lanes to the end.  Images bit-identical either way
-    #             (binning is a pure permutation).
+    #             lanes to the end.
+    #   "hier"    (octant, morton) PRIMARY + prev-hit prim id SUB-ORDER:
+    #             packets stay subtree-local (the leaf key's -8% failure
+    #             mode) while each 256-lane kernel group covers fewer
+    #             leaves.  Two stable argsorts; sort is ~0.4% of frame.
+    #             Images bit-identical in every mode (binning is a pure
+    #             permutation).
     bin_mode: str = "morton"
     # Two-phase treelet traversal (round 3): a TOP packet walk emits
     # per-lane treelet entries, pairs are sorted by entry and traversed by

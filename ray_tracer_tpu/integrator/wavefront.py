@@ -1236,12 +1236,36 @@ def _trace_wave_lanes(
                     (jnp.int32(1) << 29) | pix,
                 )
                 key = jnp.where(alive, key, jnp.int32(1) << 30)
+                order = jnp.argsort(key)
+            elif rt.bin_mode == "hier":
+                # Hierarchical key (round 5): the leaf-id key alone lost
+                # 8% because packets drew from more distinct subtrees per
+                # 4096-lane packet than a morton cell does.  Keep the
+                # default (octant, morton-cell) as the PRIMARY order —
+                # packets stay subtree-local — and sub-order lanes inside
+                # each cell by previous-hit prim id (DFS leaf locality),
+                # so each 256-lane group of the group kernel covers fewer
+                # leaves.  Two stable argsorts realize the 30+bit
+                # composite inside int32 keys; sort cost is ~0.4% of the
+                # frame (r5 profile).  Pure re-permutation: bit-identical.
+                key = _bin_key(
+                    scene, new_origin, new_dir, alive, rt.bin_bits,
+                    rt.bin_dir_bits,
+                )
+                pk = jnp.clip(hit.prim, 0, (1 << 24) - 1)
+                pk = jnp.where(
+                    hit.kind == traverse.KIND_SPHERE, (1 << 24) - 64 + pk,
+                    pk,
+                )
+                sub = jnp.where(continuing, pk, pix)
+                order_pre = jnp.argsort(sub)
+                order = order_pre[jnp.argsort(key[order_pre], stable=True)]
             else:
                 key = _bin_key(
                     scene, new_origin, new_dir, alive, rt.bin_bits,
                     rt.bin_dir_bits,
                 )
-            order = jnp.argsort(key)
+                order = jnp.argsort(key)
             fi = lambda x: x.astype(jnp.float32)[:, None]
             if prebin:
                 # slim pack: NEE already resolved into ``direct`` above

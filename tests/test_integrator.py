@@ -293,6 +293,24 @@ def test_bin_mode_leaf_bit_identical(cornell):
     assert np.array_equal(a, b)
 
 
+def test_bin_mode_hier_bit_identical(cornell):
+    """The hierarchical coherence key (Routing.bin_mode='hier', round 5:
+    morton primary + prev-hit prim-id sub-order via two stable argsorts)
+    is a pure re-permutation: images must match the morton key
+    bit-exactly."""
+    from ray_tracer_tpu import render
+    from ray_tracer_tpu.config import Routing
+
+    base = Routing(packet="interpret", groups=4, groups_packet=512)
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=2,
+                       bounce_limit=3, bin_rays=True, routing=base)
+    a = np.asarray(render(cornell, cfg))
+    b = np.asarray(render(
+        cornell, cfg.replace(routing=base.replace(bin_mode="hier"))
+    ))
+    assert np.array_equal(a, b)
+
+
 def test_drain_div_bit_identical(cornell):
     """The multi-phase drain divisor is pure scheduling: div=2 banks
     retired lanes in finer steps than div=4 but every lane's samples are
