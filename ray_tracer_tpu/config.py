@@ -140,6 +140,14 @@ class Routing:
     # DEFAULT ON; packet remains the fallback wherever _group_on's
     # prerequisites fail (RT_ANYHIT_GROUP=0 restores it).
     anyhit_group: bool = True
+    # Group count for the OCCLUSION group kernel (0 = inherit ``groups``).
+    # Occlusion economics differ from closest-hit (early exit kills lanes
+    # fast, no best tracking): the r5 shape sweep
+    # (tools/sweep_anyhit_shape.py, binned production shadow rays)
+    # measured g8 37.7 vs g16 36.2 Mrays/s at packet 4096 — fewer groups
+    # = shorter scalar tail per step, and the occlusion walk's early exit
+    # keeps the wider 512-lane group unions cheap.
+    anyhit_groups: int = 0
     # Pre-permute NEE (anyhit modes, round 5): the shadow query + MIS
     # ``direct`` resolve run BEFORE the round's coherence permute, so the
     # 12 NEE columns (nee_origin, l_dir, nee_k, cos_pdf, l_dist,
@@ -200,6 +208,7 @@ class Routing:
             groups=int(os.environ.get("RT_GROUPS", 16)),
             groups_packet=int(os.environ.get("RT_GROUPS_PACKET", 4096)),
             anyhit_group=os.environ.get("RT_ANYHIT_GROUP", "1") == "1",
+            anyhit_groups=int(os.environ.get("RT_ANYHIT_GROUPS", 0)),
             nee_prebin=os.environ.get("RT_NEE_PREBIN", "off"),
             lanewalk=os.environ.get("RT_LANEWALK", "off"),
             cluster_enum_packet=int(

@@ -708,7 +708,7 @@ def traverse_anyhit(
                 0,
                 interpret=interp,
                 packet_size=routing.groups_packet,
-                groups=routing.groups,
+                groups=routing.anyhit_groups or routing.groups,
                 max_recs=scene.meta.get(
                     "wide_leaf_recs", 4 if scene.max_leaf_tris <= 4 else 8
                 ),
