@@ -53,6 +53,10 @@ def main():
         "RT_SWEEP_BIN_BITS", "5").split(",")]
     dir_bits = [int(x) for x in os.environ.get(
         "RT_SWEEP_DIR_BITS", "0").split(",")]
+    groupss = [int(x) for x in os.environ.get(
+        "RT_SWEEP_GROUPS", "16").split(",")]
+    gpackets = [int(x) for x in os.environ.get(
+        "RT_SWEEP_GPACKETS", "4096").split(",")]
 
     scene = presets.sponza_proxy(4_000 if smoke else 260_000)\
         .compile().device_put()
@@ -82,11 +86,15 @@ def main():
             scene.wide_packed.size * 4 + 2_000_000
         )
         for mm in masks:
-            for ps, mb, db in [
-                (p, m, d) for p in psizes for m in bin_bits for d in dir_bits
+            for ps, mb, db, gg, gp in [
+                (p, m, d, g, q) for p in psizes for m in bin_bits
+                for d in dir_bits for g in groupss for q in gpackets
             ]:
+                if (gp // 128) % gg != 0:
+                    continue  # groups must divide the packet's sublanes
                 rt = Routing(packet_size=ps, mask_mode=mm, vmem_budget=vb,
-                             bin_bits=mb, bin_dir_bits=db)
+                             bin_bits=mb, bin_dir_bits=db,
+                             groups=gg, groups_packet=gp)
                 cfg = base.replace(routing=rt)
                 try:
                     c, nr = one_tile(scene, rot, pos, fov, aspect, near,
@@ -107,26 +115,27 @@ def main():
                     nr = np.asarray(nr)
                     row = {
                         "packet": ps, "mask": mm, "placement": pl_,
-                        "bin": f"{mb}/{db}",
+                        "bin": f"{mb}/{db}", "g": f"{gg}/{gp}",
                         "mrays_sem": round(float(nr[0]) / dt / 1e6, 3),
                         "s": round(dt, 2),
                         "checksum": float(np.asarray(c)),
                     }
                 except Exception as e:  # noqa: BLE001
                     row = {"packet": ps, "mask": mm, "placement": pl_,
-                           "bin": f"{mb}/{db}", "error": str(e)[:200]}
+                           "bin": f"{mb}/{db}", "g": f"{gg}/{gp}",
+                           "error": str(e)[:200]}
                 rows.append(row)
                 print(json.dumps(row), flush=True)
 
     ok = [r for r in rows if "mrays_sem" in r]
     if ok:
         best = max(ok, key=lambda r: r["mrays_sem"])
-        print("\n| packet | mask | placement | Mrays/s |")
-        print("|---|---|---|---|")
+        print("\n| packet | mask | placement | bin | G/gp | Mrays/s |")
+        print("|---|---|---|---|---|---|")
         for r in sorted(ok, key=lambda r: -r["mrays_sem"]):
             mark = " **best**" if r is best else ""
             print(f"| {r['packet']} | {r['mask']} | {r['placement']} |"
-                  f" {r['mrays_sem']}{mark} |")
+                  f" {r['bin']} | {r['g']} | {r['mrays_sem']}{mark} |")
         # all cells must agree on the frame checksum (bit-identical claim)
         cs = {round(r["checksum"], 1) for r in ok}
         print(f"\nchecksums: {cs} ({'CONSISTENT' if len(cs) == 1 else 'DIVERGENT'})")
