@@ -127,6 +127,7 @@ def parse_trace(outdir: str) -> None:
     dev_pids = {p for p, n in pid_name.items()
                 if "TPU" in n or "tpu" in n or "/device" in n.lower()}
     per_op = defaultdict(float)
+    per_cnt = defaultdict(int)
     per_bucket = defaultdict(float)
     total = 0.0
     for e in events:
@@ -141,6 +142,7 @@ def parse_trace(outdir: str) -> None:
             continue
         dur = float(e.get("dur", 0.0)) / 1e6  # us -> s
         per_op[name] += dur
+        per_cnt[name] += 1
         per_bucket[classify(name)] += dur
         total += dur
     print(f"\ndevice op time total: {total:.3f} s   (trace: {path})")
@@ -149,7 +151,9 @@ def parse_trace(outdir: str) -> None:
         print(f"{b:22s} {t:8.3f} s  {100*t/max(total,1e-9):5.1f}%")
     print("\n== top 25 ops ==")
     for name, t in sorted(per_op.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"{t:8.3f} s  {100*t/max(total,1e-9):5.1f}%  {name[:110]}")
+        n = per_cnt[name]
+        print(f"{t:8.3f} s  {100*t/max(total,1e-9):5.1f}%  n={n:5d}  "
+              f"{t/max(n,1)*1e6:8.1f} us/call  {name[:90]}")
 
 
 if __name__ == "__main__":
